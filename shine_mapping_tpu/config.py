@@ -1,0 +1,312 @@
+"""Configuration for the TPU-native SHINE mapping framework.
+
+Parity target: the reference ``SHINEConfig`` (utils/config.py:6-374 in the
+reference repo).  Same YAML section schema (setting / process / sampler /
+octree / decoder / loss / continual / optimizer / eval) so that reference
+config files port 1:1 (paths aside).  Derived quantities reproduce
+``calculate_world_scale`` (utils/config.py:372-374), ``infer_bs`` and
+``mc_query_level`` (utils/config.py:365-366).
+
+TPU-specific additions live in their own attributes (``mesh_shape``,
+``scan_chunk``, capacities) and have safe defaults; they do not exist in the
+reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import yaml
+
+
+@dataclasses.dataclass
+class SHINEConfig:
+    # ------------------------------------------------------------------ setting
+    name: str = "dummy"
+    output_root: str = ""
+    pc_path: str = ""
+    pose_path: str = ""
+    calib_path: str = ""
+    label_path: str = ""  # point-wise semantic label folder
+
+    load_model: bool = False
+    model_path: str = "/"
+
+    first_frame_ref: bool = True
+    begin_frame: int = 0
+    end_frame: int = 0
+    every_frame: int = 1
+
+    seed: int = 42
+    num_workers: int = 12
+    device: str = "tpu"  # informational; jax picks the backend
+    gpu_id: str = "0"  # accepted for config parity, unused on TPU
+    dtype: str = "float32"
+    pc_count_gpu_limit: int = 500  # frames kept device-side before host pools
+
+    # z-shift used to dodge octree-boundary marching-cube artifacts on
+    # synthetic data (reference utils/config.py:38)
+    global_shift_default: float = 0.0
+
+    # ------------------------------------------------------------------ process
+    min_range: float = 2.75
+    pc_radius: float = 20.0
+    min_z: float = -10.0
+    max_z: float = 30.0
+
+    rand_downsample: bool = True
+    vox_down_m: float = 0.03
+    rand_down_r: float = 1.0
+
+    filter_noise: bool = False
+    sor_nn: int = 25
+    sor_std: float = 2.5
+    estimate_normal: bool = False
+    normal_radius_m: float = 0.2
+    normal_max_nn: int = 20
+
+    # ------------------------------------------------------------------ semantic
+    semantic_on: bool = False
+    sem_class_count: int = 20
+    sem_label_decimation: int = 1
+    filter_moving_object: bool = False
+
+    map_vox_down_m: float = 0.05
+
+    # ------------------------------------------------------------------ octree
+    tree_level_world: int = 10
+    tree_level_feat: int = 4
+    leaf_vox_size: float = 0.5
+    feature_dim: int = 8
+    feature_std: float = 0.05
+    poly_int_on: bool = True
+    octree_from_surface_samples: bool = True
+
+    # ------------------------------------------------------------------ sampler
+    surface_sample_range_m: float = 0.5
+    surface_sample_n: int = 5
+    free_sample_begin_ratio: float = 0.3
+    free_sample_end_dist_m: float = 0.5
+    free_sample_n: int = 2
+    clearance_dist_m: float = 0.3
+    clearance_sample_n: int = 0
+
+    # ------------------------------------------------------------------ continual
+    continual_learning_reg: bool = True
+    lambda_forget: float = 1e5
+    cal_importance_weight_down_rate: int = 2
+    window_replay_on: bool = True
+    window_radius: float = 50.0
+
+    occu_update_on: bool = False
+
+    # ------------------------------------------------------------------ decoder
+    geo_mlp_level: int = 2
+    geo_mlp_hidden_dim: int = 32
+    geo_mlp_bias_on: bool = True
+    sem_mlp_level: int = 2
+    sem_mlp_hidden_dim: int = 32
+    sem_mlp_bias_on: bool = True
+    freeze_after_frame: int = 20
+
+    # ------------------------------------------------------------------ loss
+    ray_loss: bool = False
+    main_loss_type: str = "sdf_bce"  # sdf_bce | sdf_l1 | sdf_l2 | dr | dr_neus
+    loss_reduction: str = "mean"  # mean | sum
+    sigma_sigmoid_m: float = 0.1
+    sigma_scale_constant: float = 0.0
+    logistic_gaussian_ratio: float = 0.55
+    proj_correction_on: bool = False
+    predict_sdf: bool = False
+    neus_loss_on: bool = False
+    loss_weight_on: bool = False
+    behind_dropoff_on: bool = False
+    dropoff_min_sigma: float = 1.0
+    dropoff_max_sigma: float = 5.0
+    normal_loss_on: bool = False
+    weight_n: float = 0.01
+    ekional_loss_on: bool = False
+    weight_e: float = 0.1
+    consistency_loss_on: bool = False
+    weight_c: float = 1.0
+    consistency_count: int = 1000
+    consistency_range: float = 0.1
+    history_weight: float = 1.0
+    weight_s: float = 1.0
+    time_conditioned: bool = False
+
+    # ------------------------------------------------------------------ optimizer
+    iters: int = 200
+    opt_adam: bool = True
+    bs: int = 4096
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    adam_eps: float = 1e-15
+    lr_level_reduce_ratio: float = 1.0
+    lr_iters_reduce_ratio: float = 0.1
+    lr_decay_step: List[int] = dataclasses.field(
+        default_factory=lambda: [10000, 50000, 100000]
+    )
+    dropout: float = 0.0
+
+    # ------------------------------------------------------------------ eval / vis
+    wandb_vis_on: bool = False
+    o3d_vis_on: bool = False  # headless by default on TPU hosts
+    eval_on: bool = False
+    eval_outlier_thre: float = 0.5
+    eval_freq_iters: int = 100
+    vis_freq_iters: int = 100
+    save_freq_iters: int = 100
+    mesh_freq_frame: int = 1
+
+    mc_res_m: float = 0.1
+    pad_voxel: int = 1
+    mc_with_octree: bool = True
+    mc_query_level: int = 8
+    mc_vis_level: int = 1
+    mc_mask_on: bool = True
+    mc_local: bool = False
+    min_cluster_vertices: int = 50
+
+    infer_bs: int = 4096
+    occ_binary_mc: bool = False
+    grid_loss_vis_on: bool = False
+    mesh_vis_on: bool = True
+    save_map: bool = False
+
+    # ------------------------------------------------------------------ derived
+    scale: float = 1.0
+    world_size: float = 1.0
+
+    # ------------------------------------------------------------------ TPU-native extras (not in reference)
+    # number of train iterations fused into one jitted lax.scan call
+    scan_chunk: int = 100
+    # initial per-level hash table capacities (slots); doubled on overflow
+    init_node_capacity: int = 1 << 15
+    init_corner_capacity: int = 1 << 16
+    # data-parallel mesh axis size (1 = single chip); batch dim sharded over it
+    mesh_shape: int = 1
+    # pool capacity in samples (static shape; doubled on overflow)
+    init_pool_capacity: int = 1 << 20
+
+    # ------------------------------------------------------------------ loading
+    def load(self, config_file: str) -> "SHINEConfig":
+        """Load a YAML config with the reference's section schema.
+
+        Mirrors reference utils/config.py:206-369: required keys are read with
+        direct indexing into the same sections; keys the reference comments
+        out are optional here too.
+        """
+        with open(os.path.abspath(config_file)) as f:
+            args = yaml.safe_load(f)
+
+        def opt(section: str, key: str, default):
+            return args.get(section, {}).get(key, default)
+
+        setting = args["setting"]
+        self.name = setting["name"]
+        self.output_root = setting["output_root"]
+        self.pc_path = setting["pc_path"]
+        self.pose_path = setting["pose_path"]
+        self.calib_path = setting["calib_path"]
+        if self.semantic_on:
+            self.label_path = setting.get("label_path", self.label_path)
+        self.load_model = setting["load_model"]
+        self.model_path = setting["model_path"]
+        self.first_frame_ref = setting["first_frame_ref"]
+        self.begin_frame = setting["begin_frame"]
+        self.end_frame = setting["end_frame"]
+        self.every_frame = setting["every_frame"]
+        self.device = setting.get("device", self.device)
+        self.gpu_id = setting.get("gpu_id", self.gpu_id)
+
+        self.min_range = args["process"]["min_range_m"]
+        self.pc_radius = args["process"]["pc_radius_m"]
+        self.rand_downsample = args["process"]["rand_downsample"]
+        self.vox_down_m = args["process"]["vox_down_m"]
+        self.rand_down_r = args["process"]["rand_down_r"]
+        self.min_z = args["process"]["min_z_m"]
+        self.estimate_normal = opt("process", "estimate_normal", self.estimate_normal)
+        self.filter_noise = opt("process", "filter_noise", self.filter_noise)
+        self.semantic_on = opt("process", "semantic_on", self.semantic_on)
+        if self.semantic_on:
+            self.label_path = setting.get("label_path", self.label_path)
+
+        self.surface_sample_range_m = args["sampler"]["surface_sample_range_m"]
+        self.surface_sample_n = args["sampler"]["surface_sample_n"]
+        self.free_sample_begin_ratio = args["sampler"]["free_sample_begin_ratio"]
+        self.free_sample_end_dist_m = args["sampler"]["free_sample_end_dist_m"]
+        self.free_sample_n = args["sampler"]["free_sample_n"]
+        self.clearance_dist_m = opt("sampler", "clearance_dist_m", self.clearance_dist_m)
+        self.clearance_sample_n = opt("sampler", "clearance_sample_n", self.clearance_sample_n)
+
+        self.tree_level_world = args["octree"]["tree_level_world"]
+        self.tree_level_feat = args["octree"]["tree_level_feat"]
+        self.leaf_vox_size = args["octree"]["leaf_vox_size"]
+        self.feature_dim = args["octree"]["feature_dim"]
+        self.feature_std = opt("octree", "feature_std", self.feature_std)
+        self.poly_int_on = args["octree"]["poly_int_on"]
+        self.octree_from_surface_samples = args["octree"]["octree_from_surface_samples"]
+
+        self.geo_mlp_level = args["decoder"]["mlp_level"]
+        self.geo_mlp_hidden_dim = args["decoder"]["mlp_hidden_dim"]
+        self.freeze_after_frame = args["decoder"]["freeze_after_frame"]
+        self.time_conditioned = opt("decoder", "time_conditioned", self.time_conditioned)
+
+        self.ray_loss = args["loss"]["ray_loss"]
+        self.main_loss_type = args["loss"]["main_loss_type"]
+        self.sigma_sigmoid_m = args["loss"]["sigma_sigmoid_m"]
+        self.loss_weight_on = args["loss"]["loss_weight_on"]
+        self.behind_dropoff_on = args["loss"]["behind_dropoff_on"]
+        self.normal_loss_on = opt("loss", "normal_loss_on", self.normal_loss_on)
+        self.weight_n = float(opt("loss", "weight_n", self.weight_n))
+        self.ekional_loss_on = args["loss"]["ekional_loss_on"]
+        self.weight_e = float(args["loss"]["weight_e"])
+
+        self.continual_learning_reg = args["continual"]["continual_learning_reg"]
+        self.lambda_forget = float(args["continual"]["lambda_forget"])
+        self.window_replay_on = args["continual"]["window_replay_on"]
+        self.window_radius = args["continual"]["window_radius_m"]
+
+        self.iters = args["optimizer"]["iters"]
+        self.bs = args["optimizer"]["batch_size"]
+        self.lr = float(args["optimizer"]["learning_rate"])
+        self.weight_decay = float(args["optimizer"]["weight_decay"])
+        self.adam_eps = float(opt("optimizer", "adam_eps", self.adam_eps))
+
+        self.wandb_vis_on = args["eval"]["wandb_vis_on"]
+        self.o3d_vis_on = args["eval"]["o3d_vis_on"]
+        self.vis_freq_iters = args["eval"]["vis_freq_iters"]
+        self.save_freq_iters = args["eval"]["save_freq_iters"]
+        self.mesh_freq_frame = args["eval"]["mesh_freq_frame"]
+        self.mc_with_octree = args["eval"]["mc_with_octree"]
+        self.mc_res_m = args["eval"]["mc_res_m"]
+        self.mc_vis_level = args["eval"]["mc_vis_level"]
+        self.mc_local = args["eval"]["mc_local"]
+        self.save_map = args["eval"]["save_map"]
+        self.mc_mask_on = opt("eval", "mc_mask_on", self.mc_mask_on)
+
+        # TPU-native extras (optional "tpu" section)
+        self.scan_chunk = opt("tpu", "scan_chunk", self.scan_chunk)
+        self.mesh_shape = opt("tpu", "mesh_shape", self.mesh_shape)
+        self.init_node_capacity = opt("tpu", "init_node_capacity", self.init_node_capacity)
+        self.init_corner_capacity = opt("tpu", "init_corner_capacity", self.init_corner_capacity)
+        self.init_pool_capacity = opt("tpu", "init_pool_capacity", self.init_pool_capacity)
+
+        self.derive()
+        return self
+
+    def derive(self) -> None:
+        """Compute derived quantities (reference utils/config.py:364-374)."""
+        self.calculate_world_scale()
+        self.infer_bs = self.bs * 16
+        self.mc_query_level = self.tree_level_world - self.tree_level_feat + 1
+        if self.window_radius <= 0:
+            self.window_radius = self.pc_radius * 2.0
+
+    def calculate_world_scale(self) -> None:
+        """World-to-[-1,1] scale: reference utils/config.py:372-374."""
+        self.world_size = self.leaf_vox_size * (2 ** (self.tree_level_world - 1))
+        self.scale = 1.0 / self.world_size
