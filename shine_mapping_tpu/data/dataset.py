@@ -1,0 +1,314 @@
+"""LiDAR frame dataset: I/O, preprocessing, sampling, training pools.
+
+Parity target: reference ``LiDARDataset`` (dataset/lidar_dataset.py:22-450):
+pose/calib loading with first-frame re-referencing, per-frame preprocessing
+(crop / normals / downsample / SOR), world->[-1,1] scaling, ray sampling,
+feature-grid growth hook, and the training-data pool with the sliding-window
+replay filter.
+
+TPU-first differences: the pools live host-side in numpy (cheap concat /
+filter) and are uploaded to device once per training phase as padded
+static-shape arrays; random batch gathering then happens *inside* the jitted
+train loop (see train/trainer.py) instead of per-iteration host indexing.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+from numpy.linalg import inv
+
+from ..config import SHINEConfig
+from . import io, pose as pose_io, preprocess, semantic_kitti
+from .sampler import SamplerParams, sample_rays
+
+
+def natural_sort_key(name: str):
+    """natsort replacement: split digit runs so scan10 > scan9."""
+    import re
+
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
+
+
+@dataclass
+class SamplePool:
+    """Host-side accumulating training pool (numpy)."""
+
+    coord: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float32))
+    sdf_label: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    normal_label: Optional[np.ndarray] = None
+    sem_label: Optional[np.ndarray] = None
+    weight: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    sample_depth: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    ray_depth: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    origin: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float32))
+    time: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+
+    def __len__(self) -> int:
+        return self.coord.shape[0]
+
+
+class LiDARDataset:
+    def __init__(self, config: SHINEConfig, grid=None):
+        self.config = config
+        self.grid = grid  # HashGridHost or None
+
+        # calibration + poses (dataset/lidar_dataset.py:32-44)
+        self.calib = {"Tr": np.eye(4)}
+        if config.calib_path:
+            self.calib = pose_io.read_calib_file(config.calib_path)
+        if config.pose_path.endswith("txt"):
+            self.poses_w = pose_io.read_poses_file(config.pose_path, self.calib)
+        elif config.pose_path.endswith("csv"):
+            self.poses_w = pose_io.csv_odom_to_transforms(config.pose_path)
+        else:
+            raise ValueError(
+                "Wrong pose file format. Use *.txt (KITTI) or *.csv (xyz+quat)."
+            )
+
+        self.pc_filenames = sorted(os.listdir(config.pc_path), key=natural_sort_key)
+        self.total_pc_count = len(self.pc_filenames)
+
+        self.sampler_params = SamplerParams.from_config(config)
+        self.rng = np.random.default_rng(config.seed)
+        self.ray_sample_count = config.surface_sample_n + config.free_sample_n
+
+        # first-frame re-referencing (dataset/lidar_dataset.py:68-91)
+        self.poses_ref = [np.array(p) for p in self.poses_w]
+        self.begin_pose_inv = np.eye(4)
+        self.used_pc_count = 0
+        begin_flag = False
+        for frame_id in range(self.total_pc_count):
+            if (
+                frame_id < config.begin_frame
+                or frame_id > config.end_frame
+                or frame_id % config.every_frame != 0
+            ):
+                continue
+            if not begin_flag:
+                begin_flag = True
+                if config.first_frame_ref:
+                    self.begin_pose_inv = inv(self.poses_w[frame_id])
+                else:
+                    self.begin_pose_inv[2, 3] += config.global_shift_default
+            self.poses_ref[frame_id] = self.begin_pose_inv @ self.poses_w[frame_id]
+            self.used_pc_count += 1
+
+        self.pool = SamplePool()
+        # merged downsampled map + bounding boxes (dataset/lidar_dataset.py:63-66)
+        self.map_down_pc = io.PointCloud(points=np.zeros((0, 3)))
+        self.map_bbx = (np.zeros(3), np.zeros(3))
+        self.cur_bbx = (np.zeros(3), np.zeros(3))
+        self.cur_frame_pc: Optional[io.PointCloud] = None
+        self.cur_pose_ref = np.eye(4)
+
+    # ------------------------------------------------------------------ frames
+    def frame_ids(self) -> List[int]:
+        cfg = self.config
+        return [
+            f
+            for f in range(self.total_pc_count)
+            if cfg.begin_frame <= f <= cfg.end_frame and f % cfg.every_frame == 0
+        ]
+
+    def read_frame(self, frame_id: int):
+        """Load + label a frame (dataset/lidar_dataset.py:129-136)."""
+        cfg = self.config
+        path = os.path.join(cfg.pc_path, self.pc_filenames[frame_id])
+        sem_labels = None
+        if cfg.semantic_on:
+            label_path = os.path.join(
+                cfg.label_path, self.pc_filenames[frame_id].replace("bin", "label")
+            )
+            raw = io.read_kitti_label(label_path)
+            pc = io.read_kitti_bin(path)
+            pts, sem_labels = semantic_kitti.preprocess_sem_kitti(
+                pc.points, raw, cfg.min_range,
+                filter_outlier=True, filter_moving=cfg.filter_moving_object,
+            )
+            pc = io.PointCloud(points=pts)
+        else:
+            pc = io.read_point_cloud(path)
+            pc = preprocess.filter_min_range(pc, cfg.min_range, cfg.min_z)
+        return pc, sem_labels
+
+    def process_frame(self, frame_id: int, incremental_on: bool = False) -> int:
+        """Preprocess one frame, sample rays, grow the grid, update the pool.
+
+        Mirrors dataset/lidar_dataset.py:115-281.  Returns the number of new
+        samples.
+        """
+        cfg = self.config
+        self.cur_pose_ref = self.poses_ref[frame_id]
+
+        pc, sem_labels = self.read_frame(frame_id)
+
+        # crop to the local block (dataset/lidar_dataset.py:138-142)
+        bbx_min = np.array([-cfg.pc_radius, -cfg.pc_radius, cfg.min_z])
+        bbx_max = np.array([cfg.pc_radius, cfg.pc_radius, cfg.max_z])
+        if sem_labels is not None:
+            p = pc.points
+            mask = np.all((p >= bbx_min) & (p <= bbx_max), axis=1)
+            pc = pc.select(mask)
+            sem_labels = sem_labels[mask]
+        else:
+            pc = preprocess.crop_bbx(pc, bbx_min, bbx_max)
+
+        if cfg.estimate_normal:
+            pc = preprocess.estimate_normals(
+                pc, cfg.normal_radius_m, cfg.normal_max_nn,
+                orient_towards=np.zeros(3),
+            )
+
+        # downsample (dataset/lidar_dataset.py:152-158)
+        if cfg.rand_downsample:
+            n_before = len(pc)
+            k = int(round(n_before * cfg.rand_down_r))
+            idx = np.sort(self.rng.choice(n_before, size=min(k, n_before), replace=False))
+            pc = pc.select(idx)
+            if sem_labels is not None:
+                sem_labels = sem_labels[idx]
+        else:
+            if sem_labels is not None:
+                # voxel downsample with label-carrying: keep first point per voxel
+                vmin = pc.points.min(axis=0)
+                keys = np.floor((pc.points - vmin) / cfg.vox_down_m).astype(np.int64)
+                packed = (keys[:, 0] << 42) | (keys[:, 1] << 21) | keys[:, 2]
+                _, first = np.unique(packed, return_index=True)
+                pc = pc.select(np.sort(first))
+                sem_labels = sem_labels[np.sort(first)]
+            else:
+                pc = preprocess.voxel_downsample(pc, cfg.vox_down_m)
+
+        if cfg.filter_noise:
+            pc = preprocess.statistical_outlier_removal(pc, cfg.sor_nn, cfg.sor_std)
+
+        # sensor origin in scaled reference frame (dataset/lidar_dataset.py:175)
+        frame_origin = self.cur_pose_ref[:3, 3] * cfg.scale
+
+        # to reference frame, maintain map pc + bbx (dataset/lidar_dataset.py:179-187)
+        pc_ref = pc.transform(self.cur_pose_ref)
+        frame_down = preprocess.voxel_downsample(pc_ref, cfg.map_vox_down_m)
+        self.map_down_pc = self.map_down_pc.concat(frame_down)
+        self.cur_frame_pc = frame_down
+        if len(self.map_down_pc) > 0:
+            self.map_bbx = (
+                self.map_down_pc.points.min(axis=0),
+                self.map_down_pc.points.max(axis=0),
+            )
+            self.cur_bbx = (frame_down.points.min(axis=0), frame_down.points.max(axis=0))
+
+        # scale into [-1,1] (dataset/lidar_dataset.py:186-191)
+        points_s = (pc_ref.points * cfg.scale).astype(np.float64)
+        normals = pc_ref.normals if cfg.estimate_normal else None
+
+        coord, sdf_label, normal_label, sem_label, weight, sample_depth, ray_depth = (
+            sample_rays(
+                points_s,
+                frame_origin,
+                self.sampler_params,
+                self.rng,
+                normals=normals,
+                sem_labels=sem_labels,
+            )
+        )
+
+        # grow the feature grid (dataset/lidar_dataset.py:211-218)
+        if self.grid is not None:
+            if cfg.octree_from_surface_samples:
+                self.grid.update(coord[weight > 0, :], incremental_on)
+            else:
+                self.grid.update(points_s, incremental_on)
+
+        origin_rep = np.tile(frame_origin[None, :], (coord.shape[0], 1)).astype(np.float32)
+        time_rep = np.full(coord.shape[0], frame_id, np.float32)
+
+        if incremental_on:
+            # continual-learning mode keeps only the current frame
+            # (dataset/lidar_dataset.py:223-233)
+            self.pool = SamplePool(
+                coord=coord.astype(np.float32),
+                sdf_label=sdf_label.astype(np.float32),
+                normal_label=None if normal_label is None else normal_label.astype(np.float32),
+                sem_label=None if sem_label is None else sem_label.astype(np.int32),
+                weight=weight.astype(np.float32),
+                sample_depth=sample_depth.astype(np.float32),
+                ray_depth=ray_depth.astype(np.float32),
+                origin=origin_rep,
+                time=time_rep,
+            )
+            return coord.shape[0]
+
+        # sliding-window replay filter (dataset/lidar_dataset.py:236-258)
+        if cfg.window_replay_on and len(self.pool) > 0:
+            rel = np.linalg.norm(self.pool.coord - frame_origin[None, :].astype(np.float32), axis=-1)
+            keep = rel < cfg.window_radius * cfg.scale
+            p = self.pool
+            self.pool = SamplePool(
+                coord=p.coord[keep],
+                sdf_label=p.sdf_label[keep],
+                normal_label=None if p.normal_label is None else p.normal_label[keep],
+                sem_label=None if p.sem_label is None else p.sem_label[keep],
+                weight=p.weight[keep],
+                sample_depth=p.sample_depth,
+                ray_depth=p.ray_depth,
+                origin=p.origin[keep],
+                time=p.time[keep],
+            )
+
+        # accumulate (dataset/lidar_dataset.py:262-281)
+        p = self.pool
+        self.pool = SamplePool(
+            coord=np.concatenate([p.coord, coord.astype(np.float32)]),
+            sdf_label=np.concatenate([p.sdf_label, sdf_label.astype(np.float32)]),
+            normal_label=(
+                None
+                if normal_label is None
+                else (
+                    normal_label.astype(np.float32)
+                    if p.normal_label is None
+                    else np.concatenate([p.normal_label, normal_label.astype(np.float32)])
+                )
+            ),
+            sem_label=(
+                None
+                if sem_label is None
+                else (
+                    sem_label.astype(np.int32)
+                    if p.sem_label is None
+                    else np.concatenate([p.sem_label, sem_label.astype(np.int32)])
+                )
+            ),
+            weight=np.concatenate([p.weight, weight.astype(np.float32)]),
+            sample_depth=np.concatenate([p.sample_depth, sample_depth.astype(np.float32)]),
+            ray_depth=np.concatenate([p.ray_depth, ray_depth.astype(np.float32)]),
+            origin=np.concatenate([p.origin, origin_rep]),
+            time=np.concatenate([p.time, time_rep]),
+        )
+        return coord.shape[0]
+
+    # ------------------------------------------------------------------ export
+    def write_merged_pc(self, out_path: str) -> None:
+        """Merged downsampled map back in world coords
+        (dataset/lidar_dataset.py:364-368)."""
+        out = self.map_down_pc.transform(inv(self.begin_pose_inv))
+        io.write_ply(out_path, out)
+
+    def get_batch_np(self, bs: int):
+        """Host-side random batch (debug / small runs); the hot path samples
+        on-device inside the jitted scan (train/trainer.py)."""
+        n = len(self.pool)
+        idx = self.rng.integers(0, n, bs)
+        p = self.pool
+        return (
+            p.coord[idx],
+            p.sdf_label[idx],
+            p.origin[idx],
+            p.time[idx],
+            None if p.normal_label is None else p.normal_label[idx],
+            None if p.sem_label is None else p.sem_label[idx],
+            p.weight[idx],
+        )

@@ -1,0 +1,127 @@
+"""Host-side per-frame point-cloud preprocessing.
+
+Replaces the Open3D C++ calls of reference dataset/lidar_dataset.py:138-164:
+axis-aligned crop, random / voxel downsampling, statistical outlier removal
+and normal estimation — all vectorized numpy (+ scipy cKDTree where a
+neighborhood search is needed).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .io import PointCloud
+
+
+def crop_bbx(
+    pc: PointCloud, min_bound: np.ndarray, max_bound: np.ndarray
+) -> PointCloud:
+    """Keep points inside an axis-aligned box (o3d crop equivalent)."""
+    p = pc.points
+    mask = np.all((p >= min_bound) & (p <= max_bound), axis=1)
+    return pc.select(mask)
+
+
+def filter_min_range(pc: PointCloud, min_range: float, z_th: float) -> PointCloud:
+    """Reference ``preprocess_kitti`` (dataset/lidar_dataset.py:334-339):
+    drop points below z_th and closer than min_range to the sensor."""
+    p = pc.points
+    mask = p[:, 2] > z_th
+    pc = pc.select(mask)
+    mask = np.linalg.norm(pc.points, axis=1) >= min_range
+    return pc.select(mask)
+
+
+def random_downsample(pc: PointCloud, ratio: float, rng: np.random.Generator) -> PointCloud:
+    """Keep a random ``ratio`` of the points (o3d random_down_sample)."""
+    n = len(pc)
+    k = int(round(n * ratio))
+    if k >= n:
+        return pc
+    idx = rng.choice(n, size=k, replace=False)
+    return pc.select(np.sort(idx))
+
+
+def voxel_downsample(pc: PointCloud, voxel_size: float) -> PointCloud:
+    """Average points per voxel (o3d voxel_down_sample equivalent)."""
+    if len(pc) == 0:
+        return pc
+    p = pc.points
+    vmin = p.min(axis=0)
+    keys = np.floor((p - vmin) / voxel_size).astype(np.int64)
+    # pack to a single key (30 bits per axis is plenty for any real scan)
+    packed = (keys[:, 0] << 42) | (keys[:, 1] << 21) | keys[:, 2]
+    uniq, inv, counts = np.unique(packed, return_inverse=True, return_counts=True)
+
+    def mean_per_voxel(attr):
+        if attr is None:
+            return None
+        if attr.ndim == 1:
+            s = np.bincount(inv, weights=attr, minlength=len(uniq))
+            return s / counts
+        out = np.empty((len(uniq), attr.shape[1]))
+        for c in range(attr.shape[1]):
+            out[:, c] = np.bincount(inv, weights=attr[:, c], minlength=len(uniq)) / counts
+        return out
+
+    normals = mean_per_voxel(pc.normals)
+    if normals is not None:
+        norm = np.linalg.norm(normals, axis=1, keepdims=True)
+        normals = normals / np.maximum(norm, 1e-12)
+    return PointCloud(
+        points=mean_per_voxel(p),
+        normals=normals,
+        colors=mean_per_voxel(pc.colors),
+        intensity=mean_per_voxel(pc.intensity),
+    )
+
+
+def statistical_outlier_removal(
+    pc: PointCloud, nb_neighbors: int = 25, std_ratio: float = 2.5
+) -> PointCloud:
+    """o3d remove_statistical_outlier equivalent (reference
+    dataset/lidar_dataset.py:160-164): drop points whose mean kNN distance
+    exceeds global mean + std_ratio * std."""
+    from scipy.spatial import cKDTree
+
+    if len(pc) <= nb_neighbors:
+        return pc
+    tree = cKDTree(pc.points)
+    d, _ = tree.query(pc.points, k=nb_neighbors + 1)
+    mean_d = d[:, 1:].mean(axis=1)
+    thresh = mean_d.mean() + std_ratio * mean_d.std()
+    return pc.select(mean_d <= thresh)
+
+
+def estimate_normals(
+    pc: PointCloud,
+    radius: float = 0.2,
+    max_nn: int = 20,
+    orient_towards: Optional[np.ndarray] = None,
+) -> PointCloud:
+    """PCA normal estimation within a hybrid radius/kNN neighborhood
+    (o3d estimate_normals KDTreeSearchParamHybrid equivalent, reference
+    dataset/lidar_dataset.py:145-150), optionally oriented toward the sensor."""
+    from scipy.spatial import cKDTree
+
+    p = pc.points
+    n = len(pc)
+    tree = cKDTree(p)
+    d, idx = tree.query(p, k=min(max_nn, n), distance_upper_bound=radius)
+    normals = np.zeros((n, 3))
+    for i in range(n):
+        nbr = idx[i][np.isfinite(d[i])]
+        if nbr.size < 3:
+            normals[i] = [0.0, 0.0, 1.0]
+            continue
+        q = p[nbr] - p[nbr].mean(axis=0)
+        cov = q.T @ q
+        w, v = np.linalg.eigh(cov)
+        normals[i] = v[:, 0]
+    if orient_towards is not None:
+        to_sensor = orient_towards[None, :] - p
+        flip = np.sum(normals * to_sensor, axis=1) < 0
+        normals[flip] *= -1
+    return PointCloud(p, normals, pc.colors, pc.intensity)

@@ -95,9 +95,15 @@ def batch_ray_rendering_loss(
     else:
         alpha = sort_y
 
+    # reference computes cumprod(1-a)/(1-a)*a (utils/loss.py:102-106); we use
+    # the equivalent exclusive cumprod, which avoids the divide-by-epsilon and
+    # its NaN gradients when alpha saturates at 1
     one_minus_alpha = 1.0 - alpha + 1e-10
     cum = jnp.cumprod(one_minus_alpha, axis=1)
-    weights = cum / one_minus_alpha * alpha
+    exclusive = jnp.concatenate(
+        [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1
+    )
+    weights = exclusive * alpha
     d_render = jnp.sum(weights * sort_x[:, : alpha.shape[1]], axis=1)
     return jnp.mean(jnp.abs(d_render - d_meas))
 

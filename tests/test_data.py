@@ -1,0 +1,227 @@
+"""Data pipeline tests: I/O round trips, pose parsing, preprocessing, sampler."""
+
+import os
+
+import numpy as np
+import pytest
+
+from shine_mapping_tpu.data import io, pose, preprocess, semantic_kitti
+from shine_mapping_tpu.data.sampler import SamplerParams, sample_rays
+
+
+def test_ply_roundtrip_binary_and_ascii(tmp_path):
+    rng = np.random.default_rng(0)
+    pc = io.PointCloud(
+        points=rng.standard_normal((100, 3)),
+        normals=rng.standard_normal((100, 3)),
+        colors=rng.random((100, 3)),
+        intensity=rng.random(100),
+    )
+    for binary in (True, False):
+        p = str(tmp_path / f"pc_{binary}.ply")
+        io.write_ply(p, pc, binary=binary)
+        back = io.read_point_cloud(p)
+        np.testing.assert_allclose(back.points, pc.points, atol=1e-5)
+        np.testing.assert_allclose(back.normals, pc.normals, atol=1e-5)
+        np.testing.assert_allclose(back.colors, pc.colors, atol=2.0 / 255)
+        np.testing.assert_allclose(back.intensity, pc.intensity, atol=1e-5)
+
+
+def test_ply_mesh_roundtrip(tmp_path):
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float64)
+    f = np.array([[0, 1, 2], [0, 1, 3]], np.int32)
+    m = io.TriangleMesh(vertices=v, triangles=f)
+    p = str(tmp_path / "mesh.ply")
+    io.write_ply(p, m)
+    back = io.read_ply(p)
+    assert isinstance(back, io.TriangleMesh)
+    np.testing.assert_allclose(back.vertices, v, atol=1e-6)
+    np.testing.assert_array_equal(back.triangles, f)
+
+
+def test_kitti_bin_and_label(tmp_path):
+    raw = np.arange(20, dtype=np.float32).reshape(5, 4)
+    p = str(tmp_path / "000000.bin")
+    raw.tofile(p)
+    pc = io.read_kitti_bin(p)
+    np.testing.assert_allclose(pc.points, raw[:, :3])
+    labels = np.array([10, 40, 252, 0, 99], np.uint32)
+    lp = str(tmp_path / "000000.label")
+    labels.tofile(lp)
+    back = io.read_kitti_label(lp)
+    np.testing.assert_array_equal(back, labels)
+
+
+def test_pcd_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    pc = io.PointCloud(points=rng.standard_normal((50, 3)), intensity=rng.random(50))
+    p = str(tmp_path / "pc.pcd")
+    io.write_pcd(p, pc)
+    back = io.read_pcd(p)
+    np.testing.assert_allclose(back.points, pc.points, atol=1e-5)
+    np.testing.assert_allclose(back.intensity, pc.intensity, atol=1e-5)
+
+
+def test_kitti_pose_parsing(tmp_path):
+    # calib with a nontrivial Tr
+    Tr = np.eye(4)
+    Tr[:3, 3] = [0.1, 0.2, 0.3]
+    calib_line = "Tr: " + " ".join(str(v) for v in Tr[:3].reshape(-1))
+    cp = str(tmp_path / "calib.txt")
+    with open(cp, "w") as f:
+        f.write("P0: " + " ".join(["0"] * 12) + "\n")
+        f.write(calib_line + "\n")
+    calib = pose.read_calib_file(cp)
+    np.testing.assert_allclose(calib["Tr"], Tr)
+
+    P = np.eye(4)
+    P[:3, 3] = [1, 2, 3]
+    pp = str(tmp_path / "poses.txt")
+    with open(pp, "w") as f:
+        f.write(" ".join(str(v) for v in P[:3].reshape(-1)) + "\n")
+    poses = pose.read_poses_file(pp, calib)
+    np.testing.assert_allclose(poses[0], np.linalg.inv(Tr) @ P @ Tr, atol=1e-12)
+
+
+def test_csv_pose_parsing(tmp_path):
+    p = str(tmp_path / "odom.csv")
+    with open(p, "w") as f:
+        f.write("ts,tx,ty,tz,qx,qy,qz,qw\n")
+        f.write("0,1.0,2.0,3.0,0,0,0,1\n")  # identity rotation
+        f.write("1,0,0,0,0,0,0.7071068,0.7071068\n")  # 90deg about z
+    poses = pose.csv_odom_to_transforms(p)
+    np.testing.assert_allclose(poses[0][:3, 3], [1, 2, 3])
+    np.testing.assert_allclose(poses[0][:3, :3], np.eye(3), atol=1e-12)
+    R90 = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], float)
+    np.testing.assert_allclose(poses[1][:3, :3], R90, atol=1e-6)
+
+
+def test_quat_to_rotation_orthonormal():
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal(4)
+    R = pose.quat_to_rotation(*q)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-12)
+
+
+def test_voxel_downsample_averages():
+    pts = np.array([[0.0, 0, 0], [0.04, 0, 0], [1.0, 1.0, 1.0]])
+    pc = io.PointCloud(points=pts)
+    down = preprocess.voxel_downsample(pc, 0.1)
+    assert len(down) == 2
+    # first voxel average
+    assert np.any(np.all(np.isclose(down.points, [0.02, 0, 0]), axis=1))
+
+
+def test_sor_removes_outlier():
+    rng = np.random.default_rng(3)
+    cluster = rng.normal(0, 0.01, (200, 3))
+    outlier = np.array([[5.0, 5.0, 5.0]])
+    pc = io.PointCloud(points=np.concatenate([cluster, outlier]))
+    out = preprocess.statistical_outlier_removal(pc, 10, 2.0)
+    assert len(out) == 200
+
+
+def test_normal_estimation_plane():
+    rng = np.random.default_rng(4)
+    xy = rng.uniform(-1, 1, (300, 2))
+    pts = np.concatenate([xy, np.zeros((300, 1))], axis=1)
+    pc = io.PointCloud(points=pts)
+    out = preprocess.estimate_normals(pc, radius=0.5, max_nn=15,
+                                      orient_towards=np.array([0, 0, 10.0]))
+    # plane normal should be +z after orientation
+    assert np.mean(out.normals[:, 2] > 0.99) > 0.95
+
+
+def test_semantic_kitti_maps():
+    raw = np.array([0, 10, 252, 40, 52, 99], np.uint32)
+    mapped = semantic_kitti.map_labels(raw)
+    np.testing.assert_array_equal(mapped, [0, 1, 1, 9, 20, 20])
+    colors = semantic_kitti.labels_to_colors(mapped)
+    np.testing.assert_allclose(colors[1], np.array([100, 150, 245]) / 255.0)
+
+
+def test_sampler_matches_reference_math():
+    """Golden checks of utils/data_sampler.py:18-139 semantics."""
+    params = SamplerParams(
+        scale=0.1,
+        surface_sample_range_m=0.5,
+        surface_sample_n=3,
+        clearance_dist_m=0.3,
+        clearance_sample_n=1,
+        free_sample_begin_ratio=0.3,
+        free_sample_end_dist_m=0.5,
+        free_sample_n=2,
+        sigma_sigmoid_m=0.1,
+    )
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-0.5, 0.5, (40, 3))
+    origin = np.zeros(3)
+    coords, sdf, nrm, sem, w, sd, rd = sample_rays(pts, origin, params, rng)
+    a_n = params.all_sample_n
+    n = pts.shape[0]
+    assert coords.shape == (n * a_n, 3)
+    # ray-major: samples i*a_n..(i+1)*a_n-1 lie on ray i
+    dirs = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    for i in (0, 7, 39):
+        seg = coords[i * a_n : (i + 1) * a_n]
+        cross = np.linalg.norm(np.cross(seg, dirs[i][None, :]), axis=1)
+        assert np.all(cross < 1e-9)
+    # label = signed distance from the measured point along the ray
+    dist = np.linalg.norm(pts, axis=1)
+    for i in (0, 5):
+        seg = coords[i * a_n : (i + 1) * a_n]
+        d_samp = np.linalg.norm(seg, axis=1)
+        np.testing.assert_allclose(
+            sdf[i * a_n : (i + 1) * a_n], d_samp - dist[i], atol=1e-9
+        )
+    # weights: positive for surface block, negative for clearance+free
+    w_ray = w.reshape(n, a_n)
+    assert np.all(w_ray[:, : params.surface_sample_n] > 0)
+    assert np.all(w_ray[:, params.surface_sample_n :] < 0)
+    # surface labels bounded by the scaled band
+    s_lab = sdf.reshape(n, a_n)[:, : params.surface_sample_n]
+    assert np.all(np.abs(s_lab) <= params.surface_sample_range_m * params.scale + 1e-12)
+    # clearance samples: in front of band, within clearance distance
+    c_lab = sdf.reshape(n, a_n)[:, params.surface_sample_n : params.surface_sample_n + 1]
+    lo = -(params.clearance_dist_m + params.surface_sample_range_m) * params.scale
+    assert np.all(c_lab <= -params.surface_sample_range_m * params.scale + 1e-12)
+    assert np.all(c_lab >= lo - 1e-12)
+    # free samples: between min_ratio*d and d + end_dist
+    f_seg = coords.reshape(n, a_n, 3)[:, -params.free_sample_n :, :]
+    f_d = np.linalg.norm(f_seg, axis=2)
+    assert np.all(f_d >= params.free_sample_begin_ratio * dist[:, None] - 1e-9)
+    assert np.all(
+        f_d <= dist[:, None] + params.free_sample_end_dist_m * params.scale + 1e-9
+    )
+    # depths in metres
+    np.testing.assert_allclose(rd, dist / params.scale, atol=1e-9)
+    sd_ray = sd.reshape(n, a_n)
+    d_samp = np.linalg.norm(coords.reshape(n, a_n, 3), axis=2) / params.scale
+    np.testing.assert_allclose(sd_ray, d_samp, atol=1e-7)
+
+
+def test_sampler_behind_dropoff():
+    params = SamplerParams(
+        scale=1.0,
+        surface_sample_range_m=0.1,
+        surface_sample_n=8,
+        clearance_dist_m=0.0,
+        clearance_sample_n=0,
+        free_sample_begin_ratio=0.3,
+        free_sample_end_dist_m=0.0,
+        free_sample_n=0,
+        sigma_sigmoid_m=0.02,
+        behind_dropoff_on=True,
+        dropoff_min_sigma=1.0,
+        dropoff_max_sigma=5.0,
+    )
+    rng = np.random.default_rng(6)
+    pts = np.tile(np.array([[0.5, 0, 0]]), (50, 1))
+    coords, sdf, _, _, w, _, _ = sample_rays(pts, np.zeros(3), params, rng)
+    # deep-behind samples get reduced weight vs. far-in-front
+    behind = sdf / params.sigma_sigmoid_m > 4.0
+    front = sdf < 0
+    if behind.any():
+        assert np.max(np.abs(w[behind])) < 0.3
+    assert np.all(np.abs(w[front]) == 1.0)
