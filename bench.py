@@ -1,0 +1,121 @@
+"""Benchmark: SDF query+backward training throughput (points/s/chip).
+
+The north-star metric (BASELINE.md): samples/s through the full training
+step — hash-grid lookup + 8-corner gather + trilinear interp + MLP + BCE
+loss + backward + Adam — at the ICRA'23 MaiCity batch configuration
+(bs=8192, 3 featured levels, feat dim 8, 2x32 MLP).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no points/s number
+(BASELINE.md "published: {}").  The comparison row is an measured-in-kind
+estimate of the reference's ceiling: its per-iteration host dict lookup of
+bs x levels Morton keys (model/feature_octree.py:204-215, called out in-repo
+as the dominant cost) bounds it to ~1e6 samples/s on a fast host CPU + A100;
+we use REF_BASELINE_POINTS_PER_S = 1.0e6 until a CUDA host can measure it.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_BASELINE_POINTS_PER_S = 1.0e6
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from shine_mapping_tpu.config import SHINEConfig
+    from shine_mapping_tpu.data.dataset import SamplePool
+    from shine_mapping_tpu.ops.hashgrid import HashGridHost
+    from shine_mapping_tpu.train import trainer
+    from shine_mapping_tpu.train.optimizer import init_opt_state
+
+    # ICRA'23 MaiCity-batch shaped problem (config_icra2023/maicity_batch.yaml):
+    # bs 8192, 3 featured levels, feature dim 8, 12 world levels
+    cfg = SHINEConfig()
+    cfg.tree_level_world = 12
+    cfg.tree_level_feat = 3
+    cfg.leaf_vox_size = 0.2
+    cfg.bs = 8192
+    cfg.lr = 0.01
+    cfg.derive()
+
+    rng = np.random.default_rng(0)
+    # map occupancy similar to a MaiCity run: ~1M leaf-level corners
+    n_surf = 400_000
+    # surface = rolling terrain patch through the [-1,1] cube
+    xy = rng.uniform(-0.9, 0.9, (n_surf, 2))
+    z = 0.08 * np.sin(4 * xy[:, 0]) * np.cos(3 * xy[:, 1])
+    surf = np.stack([xy[:, 0], xy[:, 1], z], axis=1)
+    band = surf + rng.normal(0, 0.003, surf.shape)
+
+    grid = HashGridHost(
+        max_level=cfg.tree_level_world,
+        featured_level_num=cfg.tree_level_feat,
+        feature_dim=cfg.feature_dim,
+        feature_std=cfg.feature_std,
+        seed=0,
+        init_node_capacity=1 << 19,
+        init_corner_capacity=1 << 19,
+    )
+    grid.update(band)
+
+    n_pool = 2_000_000
+    coord = np.repeat(band, 5, axis=0)[:n_pool].astype(np.float32)
+    coord += rng.normal(0, 0.01, coord.shape).astype(np.float32)
+    sdf = rng.normal(0, 0.01, n_pool).astype(np.float32)
+    weight = np.where(rng.random(n_pool) < 0.7, 1.0, -1.0).astype(np.float32)
+    pool = SamplePool(
+        coord=coord,
+        sdf_label=sdf,
+        weight=weight,
+        sample_depth=np.zeros(n_pool, np.float32),
+        ray_depth=np.zeros(n_pool // 7 + 1, np.float32),
+        origin=np.zeros((n_pool, 3), np.float32),
+        time=np.zeros(n_pool, np.float32),
+    )
+
+    settings = trainer.TrainSettings.from_config(cfg, grid.levels)
+    params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
+    opt_state = init_opt_state(params)
+    dev_pool, n_valid = trainer.pool_to_device(pool, 1 << 21, settings)
+    shadow = trainer.empty_shadow(params["features"])
+    tables = tuple(grid.tables)
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    params, opt_state, aux = trainer.train_chunk(
+        params, opt_state, tables, dev_pool, shadow,
+        n_valid, jnp.int32(0), key, settings, 10,
+    )
+    jax.block_until_ready(aux["mean"]["total_loss"])
+
+    n_iters = 2000
+    t0 = time.perf_counter()
+    params, opt_state, aux = trainer.train_chunk(
+        params, opt_state, tables, dev_pool, shadow,
+        n_valid, jnp.int32(10), key, settings, n_iters,
+    )
+    jax.block_until_ready(aux["mean"]["total_loss"])
+    t1 = time.perf_counter()
+
+    pts_per_s = n_iters * cfg.bs / (t1 - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "sdf_train_points_per_s_per_chip",
+                "value": round(pts_per_s, 1),
+                "unit": "points/s",
+                "vs_baseline": round(pts_per_s / REF_BASELINE_POINTS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

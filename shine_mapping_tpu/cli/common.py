@@ -1,0 +1,84 @@
+"""Shared driver plumbing for the batch / incremental CLIs."""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+
+# Some TPU platform plugins ignore the JAX_PLATFORMS env var; honor it
+# explicitly so `JAX_PLATFORMS=cpu python -m shine_mapping_tpu.cli...` works
+# everywhere (e.g. to keep a debug run off the TPU).
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+import jax.numpy as jnp
+
+from ..config import SHINEConfig
+from ..ops.hashgrid import HashGridHost
+from ..train import trainer
+from ..utils import checkpoint as ckpt
+
+
+def build_grid(cfg: SHINEConfig) -> HashGridHost:
+    return HashGridHost(
+        max_level=cfg.tree_level_world,
+        featured_level_num=cfg.tree_level_feat,
+        feature_dim=cfg.feature_dim,
+        feature_std=cfg.feature_std,
+        polynomial_interpolation=cfg.poly_int_on,
+        leaf_vox_size=cfg.leaf_vox_size,
+        seed=cfg.seed,
+        init_node_capacity=cfg.init_node_capacity,
+        init_corner_capacity=cfg.init_corner_capacity,
+    )
+
+
+def maybe_load_model(cfg: SHINEConfig, grid: HashGridHost, params):
+    """Load pretrained decoders (and optionally the whole map) — mirrors
+    shine_batch.py:45-55.  Returns (grid, params, freeze_decoder)."""
+    freeze = False
+    if cfg.load_model and cfg.model_path and os.path.exists(cfg.model_path):
+        if cfg.model_path.endswith(".pth") or cfg.model_path.endswith(".npz"):
+            params = ckpt.load_decoders(cfg.model_path, params)
+            freeze = True
+            print("Pretrained decoder loaded")
+    return grid, params, freeze
+
+
+def pool_capacity_for(n: int, minimum: int) -> int:
+    cap = max(minimum, 1024)
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def event_boundaries(total_iters: int, freqs, chunk: int):
+    """Yield (start, n_iters) chunks that never cross a save/mesh boundary."""
+    events = set()
+    for f in freqs:
+        if f and f > 0:
+            events.update(range(f, total_iters + 1, f))
+    events.add(total_iters)
+    start = 0
+    for e in sorted(events):
+        while start < e:
+            n = min(chunk, e - start)
+            yield start, n
+            start += n
+
+
+def sync_features_to_grid(grid: HashGridHost, params) -> None:
+    grid.features = list(params["features"])
+
+
+def refresh_params_features(grid: HashGridHost, params):
+    params = dict(params)
+    params["features"] = tuple(grid.features)
+    return params

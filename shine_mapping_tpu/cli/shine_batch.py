@@ -1,0 +1,158 @@
+"""Batch (offline) mapping driver.
+
+Parity target: reference shine_batch.py:23-270 — accumulate and sample all
+frames, grow the map structure, then optimize for ``iters`` steps with
+periodic checkpointing and mesh reconstruction.
+
+Usage:
+    python -m shine_mapping_tpu.cli.shine_batch <config.yaml>
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SHINEConfig
+from ..data.dataset import LiDARDataset
+from ..mesher import Mesher
+from ..train import trainer
+from ..train.optimizer import init_opt_state
+from ..utils import checkpoint as ckpt
+from ..utils.experiment import setup_experiment, get_time
+from ..utils.metrics_logger import MetricsLogger
+from ..visualizer import MapVisualizer
+from .common import (
+    build_grid,
+    event_boundaries,
+    maybe_load_model,
+    pool_capacity_for,
+    refresh_params_features,
+    sync_features_to_grid,
+)
+
+
+def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | None = None):
+    if cfg is None:
+        cfg = SHINEConfig()
+        if config_path is None:
+            sys.exit(
+                "Please provide the path to the config file.\n"
+                "Try: python -m shine_mapping_tpu.cli.shine_batch xxx_config.yaml"
+            )
+        cfg.load(config_path)
+
+    run_path = setup_experiment(cfg, config_path)
+    logger = MetricsLogger(run_path, cfg.wandb_vis_on, run_name=cfg.name)
+
+    grid = build_grid(cfg)
+    dataset = LiDARDataset(cfg, grid)
+
+    vis = MapVisualizer() if cfg.o3d_vis_on else None
+
+    # ---------------------------------------------------------------- data phase
+    print("Load, preprocess and sample data")
+    t_data0 = time.time()
+    for frame_id in dataset.frame_ids():
+        dataset.process_frame(frame_id)
+    t_data1 = time.time()
+    print(f"data phase: {t_data1 - t_data0:.1f} s, pool={len(dataset.pool)} samples")
+    grid.print_detail()
+
+    params = trainer.init_params(cfg, grid, jax.random.PRNGKey(cfg.seed))
+    grid_loaded, params, freeze = maybe_load_model(cfg, grid, params)
+    settings = trainer.TrainSettings.from_config(
+        cfg, grid.levels, freeze_decoder=freeze
+    )
+
+    mesher = Mesher(cfg, grid, params["geo"], params.get("sem"))
+    mesher.global_transform = np.linalg.inv(dataset.begin_pose_inv)
+
+    pc_map_path = run_path + "/map/pc_map_down.ply"
+    dataset.write_merged_pc(pc_map_path)
+
+    opt_state = init_opt_state(params)
+    capacity = pool_capacity_for(len(dataset.pool), cfg.init_pool_capacity)
+    dev_pool, n_valid = trainer.pool_to_device(dataset.pool, capacity, settings)
+    shadow = trainer.empty_shadow(params["features"])
+    key = jax.random.PRNGKey(cfg.seed)
+
+    # ---------------------------------------------------------------- training
+    print("Begin mapping")
+    tables = tuple(grid.tables)
+    t_train0 = time.time()
+    done_iters = 0
+    for start, n in event_boundaries(
+        cfg.iters, (cfg.save_freq_iters, cfg.vis_freq_iters), cfg.scan_chunk
+    ):
+        key, k = jax.random.split(key)
+        t0 = get_time()
+        params, opt_state, aux = trainer.train_chunk(
+            params, opt_state, tables, dev_pool, shadow,
+            n_valid, jnp.int32(start), k, settings, n,
+        )
+        t1 = get_time(aux["mean"]["total_loss"])
+        done_iters = start + n
+        rec = {("loss/" + k2): float(v) for k2, v in aux["mean"].items()}
+        rec.update({
+            "iter": done_iters,
+            "timing(s)/chunk": t1 - t0,
+            "timing(s)/per_iter": (t1 - t0) / n,
+            "samples_per_s": n * cfg.bs / max(t1 - t0, 1e-9),
+        })
+        logger.log(rec)
+        print(
+            f"iter {done_iters}/{cfg.iters} loss {rec['loss/total_loss']:.4f} "
+            f"({rec['samples_per_s'] / 1e6:.2f}M samples/s)"
+        )
+
+        at_save = cfg.save_freq_iters > 0 and done_iters % cfg.save_freq_iters == 0
+        at_mesh = cfg.vis_freq_iters > 0 and done_iters % cfg.vis_freq_iters == 0
+        if at_save and done_iters < cfg.iters:
+            sync_features_to_grid(grid, params)
+            name = f"model/model_iter_{done_iters}"
+            ckpt.save_checkpoint(
+                f"{run_path}/{name}.npz", grid, params, opt_state, done_iters
+            )
+            ckpt.save_decoders(f"{run_path}/{name}_decoders.npz", params)
+        if at_mesh:
+            sync_features_to_grid(grid, params)
+            mesher.geo_params = params["geo"]
+            mesher.sem_params = params.get("sem")
+            mesh_path = f"{run_path}/mesh/mesh_iter_{done_iters}.ply"
+            map_path = f"{run_path}/map/sdf_map_iter_{done_iters}.ply"
+            print("Begin mesh reconstruction from the implicit map")
+            if cfg.mc_with_octree:
+                cur_mesh = mesher.recon_octree_mesh(
+                    cfg.mc_query_level, cfg.mc_res_m, mesh_path, map_path,
+                    cfg.save_map, cfg.semantic_on,
+                )
+            else:
+                cur_mesh = mesher.recon_bbx_mesh(
+                    dataset.map_bbx, cfg.mc_res_m, mesh_path, map_path,
+                    cfg.save_map, cfg.semantic_on,
+                )
+            if vis is not None:
+                vis.update_mesh(cur_mesh)
+
+    t_train1 = time.time()
+    print(f"training: {t_train1 - t_train0:.1f} s for {done_iters} iters")
+
+    # final checkpoint
+    sync_features_to_grid(grid, params)
+    ckpt.save_checkpoint(
+        f"{run_path}/model/model_final.npz", grid, params, opt_state, done_iters
+    )
+    ckpt.save_decoders(f"{run_path}/model/model_final_decoders.npz", params)
+    logger.close()
+    if vis is not None:
+        vis.stop()
+    return run_path, grid, params
+
+
+if __name__ == "__main__":
+    run_shine_mapping_batch(sys.argv[1] if len(sys.argv) > 1 else None)

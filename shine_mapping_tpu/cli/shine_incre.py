@@ -1,0 +1,174 @@
+"""Incremental (online) mapping driver.
+
+Parity target: reference shine_incre.py:22-247 — per frame: grow the map,
+rebuild the optimizer over the grown structure (Adam state reset, mirroring
+shine_incre.py:108-109), run ``iters`` inner steps with either the window
+replay pool or the continual-learning feature regularizer, update feature
+importance, and periodically reconstruct the mesh.
+
+Usage:
+    python -m shine_mapping_tpu.cli.shine_incre <config.yaml>
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SHINEConfig
+from ..data.dataset import LiDARDataset
+from ..mesher import Mesher
+from ..train import trainer
+from ..train.importance import cal_feature_importance
+from ..train.optimizer import init_opt_state
+from ..utils import checkpoint as ckpt
+from ..utils.experiment import setup_experiment, get_time
+from ..utils.metrics_logger import MetricsLogger
+from ..visualizer import MapVisualizer
+from .common import (
+    build_grid,
+    maybe_load_model,
+    pool_capacity_for,
+    refresh_params_features,
+    sync_features_to_grid,
+)
+
+
+def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConfig | None = None):
+    if cfg is None:
+        cfg = SHINEConfig()
+        if config_path is None:
+            sys.exit(
+                "Please provide the path to the config file.\n"
+                "Try: python -m shine_mapping_tpu.cli.shine_incre xxx_config.yaml"
+            )
+        cfg.load(config_path)
+
+    run_path = setup_experiment(cfg, config_path)
+    logger = MetricsLogger(run_path, cfg.wandb_vis_on, run_name=cfg.name)
+
+    grid = build_grid(cfg)
+    dataset = LiDARDataset(cfg, grid)
+    vis = MapVisualizer() if cfg.o3d_vis_on else None
+
+    params = trainer.init_params(cfg, grid, jax.random.PRNGKey(cfg.seed))
+    grid, params, loaded_freeze = maybe_load_model(cfg, grid, params)
+
+    if cfg.continual_learning_reg:
+        cfg.loss_reduction = "sum"  # shine_incre.py:77-78
+
+    mesher = Mesher(cfg, grid, params["geo"], params.get("sem"))
+    mesher.global_transform = np.linalg.inv(dataset.begin_pose_inv)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    processed_frame = 0
+    total_iter = 0
+    freeze = loaded_freeze
+
+    for frame_id in dataset.frame_ids():
+        if processed_frame == cfg.freeze_after_frame and not freeze:
+            print("Freeze the decoder")
+            freeze = True
+
+        T0 = time.time()
+        dataset.process_frame(frame_id, incremental_on=cfg.continual_learning_reg)
+        params = refresh_params_features(grid, params)
+
+        settings = trainer.TrainSettings.from_config(
+            cfg, grid.levels,
+            continual_reg_on=cfg.continual_learning_reg,
+            freeze_decoder=freeze,
+        )
+        # optimizer rebuilt per frame over the grown structure
+        opt_state = init_opt_state(params)
+
+        capacity = pool_capacity_for(len(dataset.pool), 1 << 17)
+        dev_pool, n_valid = trainer.pool_to_device(dataset.pool, capacity, settings)
+        if cfg.continual_learning_reg:
+            shadow = {
+                "importance": tuple(grid.importance_weight),
+                "last_frame": tuple(
+                    jnp.array(f, copy=True) for f in grid.features_last_frame
+                ),
+            }
+        else:
+            shadow = trainer.empty_shadow(params["features"])
+
+        T1 = time.time()
+        tables = tuple(grid.tables)
+        key, k = jax.random.split(key)
+        params, opt_state, aux = trainer.train_chunk(
+            params, opt_state, tables, dev_pool, shadow,
+            n_valid, jnp.int32(0), k, settings, cfg.iters,
+        )
+        jax.block_until_ready(aux["mean"]["total_loss"])
+        total_iter += cfg.iters
+        sync_features_to_grid(grid, params)
+
+        # feature importance for the continual-learning regularizer
+        if cfg.continual_learning_reg:
+            cal_feature_importance(
+                grid, params["geo"], dataset.pool.coord, dataset.pool.sdf_label,
+                sigma=settings.sigma_sigmoid, bs=cfg.bs,
+                down_rate=cfg.cal_importance_weight_down_rate,
+                loss_reduction=cfg.loss_reduction,
+            )
+
+        T2 = time.time()
+
+        cur_mesh = None
+        if processed_frame == 0 or (processed_frame + 1) % cfg.mesh_freq_frame == 0:
+            print("Begin mesh reconstruction from the implicit map")
+            mesher.geo_params = params["geo"]
+            mesher.sem_params = params.get("sem")
+            mesh_path = f"{run_path}/mesh/mesh_frame_{frame_id + 1}.ply"
+            map_path = f"{run_path}/map/sdf_map_frame_{frame_id + 1}.ply"
+            if cfg.mc_with_octree:
+                cur_mesh = mesher.recon_octree_mesh(
+                    cfg.mc_query_level, cfg.mc_res_m, mesh_path, map_path,
+                    cfg.save_map, cfg.semantic_on,
+                )
+            else:
+                bbx = dataset.cur_bbx if cfg.mc_local else dataset.map_bbx
+                cur_mesh = mesher.recon_bbx_mesh(
+                    bbx, cfg.mc_res_m, mesh_path, map_path,
+                    cfg.save_map, cfg.semantic_on,
+                )
+        T3 = time.time()
+
+        rec = {("loss/" + k2): float(v) for k2, v in aux["mean"].items()}
+        rec.update({
+            "frame": processed_frame,
+            "iter": total_iter,
+            "timing(s)/preprocess": T1 - T0,
+            "timing(s)/mapping": T2 - T1,
+            "timing(s)/reconstruct": T3 - T2,
+        })
+        logger.log(rec)
+        print(
+            f"frame {frame_id}: loss {rec['loss/total_loss']:.4f} "
+            f"pre {T1-T0:.2f}s map {T2-T1:.2f}s recon {T3-T2:.2f}s"
+        )
+
+        if vis is not None:
+            vis.update(dataset.cur_frame_pc, dataset.cur_pose_ref, cur_mesh)
+
+        processed_frame += 1
+
+    sync_features_to_grid(grid, params)
+    ckpt.save_checkpoint(
+        f"{run_path}/model/model_final.npz", grid, params,
+        init_opt_state(params), total_iter,
+    )
+    logger.close()
+    if vis is not None:
+        vis.stop()
+    return run_path, grid, params
+
+
+if __name__ == "__main__":
+    run_shine_mapping_incremental(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -1,0 +1,336 @@
+"""Mesh reconstruction from the implicit map.
+
+Parity target: reference ``Mesher`` (utils/mesher.py:14-368): chunked
+no-grad SDF inference with the marching-cubes visibility mask, dense
+bounding-box reconstruction, octree-tiled reconstruction at a chosen query
+level, SDF-map export (sdf in the intensity channel), vertex semantics, and
+isolated-cluster filtering.
+
+TPU-first: inference batches are padded to one static ``infer_bs`` shape so
+a single jitted query/decoder executable serves the whole reconstruction.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import SHINEConfig
+from .data import io
+from .models import decoder
+from .ops.marching import marching_tetrahedra, vertex_normals
+from .ops.query import query_feature_with_aux
+from .data.semantic_kitti import labels_to_colors
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "poly_on", "check_level", "time_conditioned", "with_sem"))
+def _infer_chunk(
+    geo_params,
+    sem_params,
+    features,
+    tables,
+    coords,
+    ts,
+    levels: Tuple[int, ...],
+    poly_on: bool,
+    check_level: int,
+    time_conditioned: bool,
+    with_sem: bool,
+):
+    feat, corners, found = query_feature_with_aux(
+        coords, tables, list(features), levels, poly_on
+    )
+    if time_conditioned:
+        sdf = -decoder.time_conditioned_sdf(geo_params, feat, ts)
+    else:
+        sdf = -decoder.sdf(geo_params, feat)  # sign flip: utils/mesher.py:72
+    # mc mask: node found at the checked level (all 8 corners valid,
+    # utils/mesher.py:80-89)
+    mask = found[check_level]
+    sem = (
+        decoder.sem_label(sem_params, feat)
+        if with_sem
+        else jnp.zeros((coords.shape[0],), jnp.int32)
+    )
+    return sdf, sem, mask
+
+
+class Mesher:
+    def __init__(self, config: SHINEConfig, grid, geo_params, sem_params=None):
+        self.config = config
+        self.grid = grid  # HashGridHost
+        self.geo_params = geo_params
+        self.sem_params = sem_params
+        self.world_scale = config.scale
+        self.ts = 0  # query timestamp for time-conditioned maps
+        self.global_transform = np.eye(4)
+
+    # ------------------------------------------------------------------ queries
+    def query_points(
+        self,
+        coords: np.ndarray,
+        bs: int,
+        query_sdf: bool = True,
+        query_sem: bool = False,
+        query_mask: bool = True,
+    ):
+        """Batched SDF / semantics / mask inference (utils/mesher.py:33-108).
+
+        coords are in the scaled [-1,1] system; returns numpy arrays.
+        """
+        n = coords.shape[0]
+        check_level = min(self.grid.featured_level_num, self.config.mc_vis_level) - 1
+        iters = math.ceil(n / bs)
+        sdf_out = np.zeros(n, dtype=np.float64) if query_sdf else None
+        sem_out = np.zeros(n, dtype=np.int64) if query_sem else None
+        mask_out = np.zeros(n, dtype=bool) if query_mask else None
+        tables = tuple(self.grid.tables)
+        feats = tuple(self.grid.features)
+        for k in range(iters):
+            head, tail = k * bs, min((k + 1) * bs, n)
+            chunk = coords[head:tail]
+            m = chunk.shape[0]
+            if m < bs:  # pad to the static batch shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bs - m, 3), chunk.dtype)], axis=0
+                )
+            ts = jnp.full((bs,), float(self.ts), jnp.float32)
+            sdf, sem, mask = _infer_chunk(
+                self.geo_params,
+                self.sem_params if query_sem else self.geo_params,
+                feats,
+                tables,
+                jnp.asarray(chunk, jnp.float32),
+                ts,
+                tuple(self.grid.levels),
+                self.grid.polynomial_interpolation,
+                check_level,
+                self.config.time_conditioned,
+                query_sem,
+            )
+            if query_sdf:
+                sdf_out[head:tail] = np.asarray(sdf)[:m]
+            if query_sem:
+                sem_out[head:tail] = np.asarray(sem)[:m]
+            if query_mask:
+                mask_out[head:tail] = np.asarray(mask)[:m]
+        return sdf_out, sem_out, mask_out
+
+    # ------------------------------------------------------------------ grids
+    def get_query_from_bbx(self, bbx, voxel_size: float):
+        """Dense grid covering a world-space bbx (utils/mesher.py:110-150).
+
+        bbx: (min_bound, max_bound) arrays in metres.
+        """
+        min_bound, max_bound = np.asarray(bbx[0], float), np.asarray(bbx[1], float)
+        len_xyz = max_bound - min_bound
+        voxel_num_xyz = (
+            np.ceil(len_xyz / voxel_size) + self.config.pad_voxel * 2
+        ).astype(np.int64)
+        voxel_origin = min_bound - self.config.pad_voxel * voxel_size
+        # extra voxel underground for the ground surface (utils/mesher.py:128-130)
+        voxel_origin[2] -= voxel_size
+        voxel_num_xyz[2] += 1
+
+        x = np.arange(voxel_num_xyz[0])
+        y = np.arange(voxel_num_xyz[1])
+        z = np.arange(voxel_num_xyz[2])
+        gx, gy, gz = np.meshgrid(x, y, z, indexing="ij")
+        coord = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1).astype(np.float64)
+        coord = coord * voxel_size + voxel_origin[None, :]
+        coord *= self.world_scale  # to [-1,1]
+        return coord, voxel_num_xyz, voxel_origin
+
+    def assign_to_bbx(self, sdf_pred, sem_pred, mc_mask, voxel_num_xyz):
+        """Reshape flat query outputs to the 3D grid (utils/mesher.py:175-198)."""
+        shape = tuple(int(v) for v in voxel_num_xyz)
+        if sdf_pred is not None:
+            sdf_pred = sdf_pred.reshape(shape)
+        if sem_pred is not None:
+            sem_pred = sem_pred.reshape(shape)
+        if mc_mask is not None:
+            mc_mask = mc_mask.reshape(shape).astype(bool)
+        return sdf_pred, sem_pred, mc_mask
+
+    # ------------------------------------------------------------------ mc
+    def mc_mesh(self, mc_sdf, mc_mask, voxel_size: float, mc_origin):
+        """Iso-surface extraction (utils/mesher.py:200-222)."""
+        verts, faces = marching_tetrahedra(
+            mc_sdf.astype(np.float64),
+            level=0.0,
+            mask=mc_mask if self.config.mc_mask_on else None,
+            spacing=1.0,
+        )
+        verts = np.asarray(mc_origin)[None, :] + verts * voxel_size
+        return verts, faces
+
+    # ------------------------------------------------------------------ artifacts
+    def generate_sdf_map(self, coord, sdf_pred, mc_mask, map_path: str):
+        """Export the SDF as a point cloud with sdf in intensity
+        (utils/mesher.py:152-173)."""
+        coord_world = coord / self.world_scale
+        sdf_world = (
+            sdf_pred
+            * self.config.logistic_gaussian_ratio
+            * self.config.sigma_sigmoid_m
+        )
+        pc = io.PointCloud(
+            points=coord_world.astype(np.float64),
+            intensity=sdf_world.astype(np.float64),
+        )
+        pc = pc.transform(self.global_transform)
+        io.write_ply(map_path, pc)
+
+    def estimate_vertices_sem(self, mesh: io.TriangleMesh, verts: np.ndarray,
+                              filter_free_space_vertices: bool = True):
+        """Predict vertex semantics + colors (utils/mesher.py:224-238)."""
+        verts_scaled = verts * self.world_scale
+        _, verts_sem, _ = self.query_points(
+            verts_scaled, self.config.infer_bs, False, True, False
+        )
+        mesh.vertex_colors = labels_to_colors(verts_sem)
+        if filter_free_space_vertices:
+            keep = verts_sem > 0
+            mesh = _remove_vertices(mesh, keep)
+        return mesh
+
+    def filter_isolated_vertices(self, mesh: io.TriangleMesh, filter_cluster_min_tri: int = 300):
+        """Drop small connected triangle clusters (utils/mesher.py:240-251)."""
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+
+        nv = mesh.vertices.shape[0]
+        if nv == 0 or mesh.triangles.shape[0] == 0:
+            return mesh
+        tri = mesh.triangles
+        rows = np.concatenate([tri[:, 0], tri[:, 1], tri[:, 2]])
+        cols = np.concatenate([tri[:, 1], tri[:, 2], tri[:, 0]])
+        adj = coo_matrix((np.ones(rows.size), (rows, cols)), shape=(nv, nv))
+        _, labels = connected_components(adj, directed=False)
+        tri_label = labels[tri[:, 0]]
+        counts = np.bincount(labels)
+        tri_counts = counts[tri_label]
+        keep_tri = tri_counts >= filter_cluster_min_tri
+        mesh.triangles = tri[keep_tri]
+        return mesh
+
+    # ------------------------------------------------------------------ recon
+    def recon_bbx_mesh(
+        self,
+        bbx,
+        voxel_size: float,
+        mesh_path: str,
+        map_path: str,
+        save_map: bool = False,
+        estimate_sem: bool = False,
+        estimate_normal: bool = True,
+        filter_isolated_mesh: bool = True,
+        filter_free_space_vertices: bool = True,
+    ) -> io.TriangleMesh:
+        """Dense bounding-box reconstruction (utils/mesher.py:253-290)."""
+        coord, voxel_num_xyz, voxel_origin = self.get_query_from_bbx(bbx, voxel_size)
+        sdf_pred, _, mc_mask = self.query_points(
+            coord, self.config.infer_bs, True, False, self.config.mc_mask_on
+        )
+        if save_map:
+            self.generate_sdf_map(coord, sdf_pred, mc_mask, map_path)
+        mc_sdf, _, mc_mask3 = self.assign_to_bbx(sdf_pred, None, mc_mask, voxel_num_xyz)
+        verts, faces = self.mc_mesh(mc_sdf, mc_mask3, voxel_size, voxel_origin)
+        return self._finalize_mesh(
+            verts, faces, mesh_path, estimate_sem, estimate_normal,
+            filter_isolated_mesh, filter_free_space_vertices,
+        )
+
+    def recon_octree_mesh(
+        self,
+        query_level: int,
+        mc_res_m: float,
+        mesh_path: str,
+        map_path: str,
+        save_map: bool = False,
+        estimate_sem: bool = False,
+        estimate_normal: bool = True,
+        filter_isolated_mesh: bool = True,
+        filter_free_space_vertices: bool = True,
+    ) -> io.TriangleMesh:
+        """Octree-tiled reconstruction at ``query_level``
+        (utils/mesher.py:292-368): query per-node grid blocks, paste into a
+        global grid, then one marching pass."""
+        nodes = self.grid.get_octree_nodes(query_level)  # centers, [-1,1]
+        if nodes.shape[0] == 0:
+            return io.TriangleMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+        min_nodes = nodes.min(axis=0)
+        max_nodes = nodes.max(axis=0)
+
+        node_res = 2.0 ** (1 - query_level)  # node size in [-1,1]
+        vox_per_node = int(np.ceil(node_res / self.world_scale / mc_res_m))
+        mc_res_scaled = node_res / vox_per_node
+
+        # local per-node grid (vox_per_node^3)
+        ax = np.arange(vox_per_node)
+        gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+        local = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1).astype(np.float64)
+        local *= mc_res_scaled
+
+        side = ((max_nodes - min_nodes) / mc_res_scaled + vox_per_node).astype(int)
+        grid_sdf = np.zeros(tuple(side), dtype=np.float32)
+        grid_mask = np.zeros(tuple(side), dtype=bool)
+
+        for i in range(nodes.shape[0]):
+            center = nodes[i]
+            cur_origin = center - 0.5 * (node_res - mc_res_scaled)
+            cur_coord = local + cur_origin[None, :]
+            sdf_pred, _, mc_mask = self.query_points(
+                cur_coord, self.config.infer_bs, True, False, self.config.mc_mask_on
+            )
+            box = (vox_per_node,) * 3
+            sdf3, _, mask3 = self.assign_to_bbx(sdf_pred, None, mc_mask, box)
+            s = np.round((center - min_nodes) / node_res * vox_per_node).astype(int)
+            grid_sdf[s[0]:s[0]+vox_per_node, s[1]:s[1]+vox_per_node, s[2]:s[2]+vox_per_node] = sdf3
+            if mask3 is not None:
+                grid_mask[s[0]:s[0]+vox_per_node, s[1]:s[1]+vox_per_node, s[2]:s[2]+vox_per_node] = mask3
+
+        mc_voxel_size = mc_res_scaled / self.world_scale
+        mc_origin = (min_nodes - 0.5 * (node_res - mc_res_scaled)) / self.world_scale
+        verts, faces = self.mc_mesh(grid_sdf, grid_mask, mc_voxel_size, mc_origin)
+        return self._finalize_mesh(
+            verts, faces, mesh_path, estimate_sem, estimate_normal,
+            filter_isolated_mesh, filter_free_space_vertices,
+        )
+
+    def _finalize_mesh(
+        self, verts, faces, mesh_path, estimate_sem, estimate_normal,
+        filter_isolated_mesh, filter_free_space_vertices,
+    ) -> io.TriangleMesh:
+        mesh = io.TriangleMesh(
+            vertices=verts.astype(np.float64), triangles=faces.astype(np.int32)
+        )
+        if estimate_sem and self.sem_params is not None:
+            mesh = self.estimate_vertices_sem(mesh, mesh.vertices, filter_free_space_vertices)
+        if estimate_normal and mesh.vertices.shape[0] > 0:
+            mesh.vertex_normals = vertex_normals(mesh.vertices, mesh.triangles)
+        if filter_isolated_mesh:
+            mesh = self.filter_isolated_vertices(mesh, self.config.min_cluster_vertices)
+        mesh = mesh.transform(self.global_transform)
+        if mesh_path:
+            io.write_ply(mesh_path, mesh)
+        return mesh
+
+
+def _remove_vertices(mesh: io.TriangleMesh, keep: np.ndarray) -> io.TriangleMesh:
+    """Drop vertices (and their triangles), compacting indices."""
+    remap = -np.ones(mesh.vertices.shape[0], dtype=np.int64)
+    remap[keep] = np.arange(int(keep.sum()))
+    tri_keep = keep[mesh.triangles].all(axis=1)
+    tri = remap[mesh.triangles[tri_keep]]
+    return io.TriangleMesh(
+        vertices=mesh.vertices[keep],
+        triangles=tri.astype(np.int32),
+        vertex_normals=None if mesh.vertex_normals is None else mesh.vertex_normals[keep],
+        vertex_colors=None if mesh.vertex_colors is None else mesh.vertex_colors[keep],
+    )

@@ -434,7 +434,10 @@ class HashGridHost:
 
         self.features[li] = pad(self.features[li])
         self.importance_weight[li] = pad(self.importance_weight[li])
-        self.features_last_frame[li] = pad(self.features_last_frame[li])
+        # the last-frame snapshot is refreshed by update() right after growth
+        # (and its old buffer may have been donated to a train step), so
+        # re-alias instead of padding the stale array
+        self.features_last_frame[li] = self.features[li]
         # miss rows in the hash table must point at the new trashbin row
         hl.corner_idx[hl.corner_idx >= hl.n_corners] = C - 1
         hl._rebuild_table()

@@ -281,7 +281,7 @@ def _gather_batch(pool, idx, s: TrainSettings):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "n_iters"),
+    static_argnames=("settings", "n_iters", "batch_sharding"),
     donate_argnames=("params", "opt_state"),
 )
 def train_chunk(
@@ -295,6 +295,7 @@ def train_chunk(
     key: jax.Array,
     settings: TrainSettings,
     n_iters: int,
+    batch_sharding=None,
 ):
     """Run ``n_iters`` optimization steps in one compiled scan.
 
@@ -302,6 +303,11 @@ def train_chunk(
     in [0, n_valid).  ``shadow`` holds the continual-learning importance /
     last-frame tables (pass empty dict shapes when off).  Returns updated
     (params, opt_state, mean-aux dict).
+
+    ``batch_sharding``: optional ``NamedSharding`` over a data-parallel mesh
+    axis; the sampled batch is sharding-constrained to it so XLA partitions
+    the forward/backward across chips and all-reduces the (replicated)
+    parameter gradients over ICI.
     """
     s = settings
     lr_scale_tree, wd_tree = make_group_trees(
@@ -331,6 +337,11 @@ def train_chunk(
         else:
             idx = jax.random.randint(k_idx, (s.bs,), 0, n_valid)
             batch = _gather_batch(pool, idx, s)
+        if batch_sharding is not None:
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, batch_sharding)
+                for k, v in batch.items()
+            }
 
         (loss, aux), grads = jax.value_and_grad(_compute_loss, has_aux=True)(
             params, tables, batch, shadow, k_loss, s

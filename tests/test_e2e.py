@@ -1,0 +1,140 @@
+"""End-to-end driver tests on the synthetic KITTI-layout world."""
+
+import os
+
+import numpy as np
+import pytest
+
+from shine_mapping_tpu.config import SHINEConfig
+from shine_mapping_tpu.data import io
+from shine_mapping_tpu.eval.metrics import eval_mesh, sample_points_uniformly
+from tests import synth
+
+
+def small_cfg(root: str, out: str) -> SHINEConfig:
+    cfg = SHINEConfig()
+    cfg.name = "synth"
+    cfg.output_root = out
+    cfg.pc_path = os.path.join(root, "velodyne")
+    cfg.pose_path = os.path.join(root, "poses.txt")
+    cfg.calib_path = os.path.join(root, "calib.txt")
+    cfg.begin_frame = 0
+    cfg.end_frame = 100
+    cfg.every_frame = 1
+    cfg.first_frame_ref = False
+    cfg.pc_radius = 20.0
+    cfg.min_range = 0.5
+    cfg.min_z = -3.0
+    cfg.rand_downsample = False
+    cfg.vox_down_m = 0.08
+    cfg.tree_level_world = 10
+    cfg.tree_level_feat = 3
+    cfg.leaf_vox_size = 0.3
+    cfg.bs = 2048
+    cfg.iters = 400
+    cfg.lr = 0.02
+    cfg.scan_chunk = 100
+    cfg.save_freq_iters = 0
+    cfg.vis_freq_iters = 0  # only final mesh
+    cfg.mesh_freq_frame = 100
+    cfg.mc_res_m = 0.15
+    cfg.mc_vis_level = 1
+    cfg.surface_sample_n = 4
+    cfg.free_sample_n = 2
+    cfg.o3d_vis_on = False
+    cfg.wandb_vis_on = False
+    cfg.continual_learning_reg = False
+    cfg.window_replay_on = False
+    cfg.init_node_capacity = 1 << 14
+    cfg.init_corner_capacity = 1 << 14
+    cfg.init_pool_capacity = 1 << 18
+    cfg.derive()
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth_kitti"))
+    synth.make_kitti_dataset(root, n_frames=5)
+    return root
+
+
+def test_batch_driver_end_to_end(synth_root, tmp_path):
+    from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
+
+    # training artifacts exist
+    assert os.path.exists(run_path + "/model/model_final.npz")
+    assert os.path.exists(run_path + "/map/pc_map_down.ply")
+    assert os.path.exists(run_path + "/metrics.jsonl")
+
+    # reconstruct final mesh
+    from shine_mapping_tpu.mesher import Mesher
+
+    mesher = Mesher(cfg, grid, params["geo"], params.get("sem"))
+    mesh_path = run_path + "/mesh/final.ply"
+    mesh = mesher.recon_octree_mesh(
+        cfg.mc_query_level, cfg.mc_res_m, mesh_path, "", False, False
+    )
+    assert mesh.vertices.shape[0] > 500, "mesh too small"
+
+    # score against the analytic ground truth
+    gt = synth.gt_surface_points(100_000)
+    gt_path = str(tmp_path / "gt.ply")
+    io.write_ply(gt_path, io.PointCloud(points=gt))
+    m = eval_mesh(
+        mesh_path, gt_path, down_sample_res=0.05, threshold=0.2,
+        truncation_acc=0.4, truncation_com=2.0, mesh_sample_point=300_000,
+    )
+    print({k: round(v, 4) for k, v in m.items()})
+    assert m["Chamfer_L1 (m)"] < 0.15, m
+    assert m["F-score (%)"] > 75.0, m
+
+
+def test_incremental_driver_end_to_end(synth_root, tmp_path):
+    from shine_mapping_tpu.cli.shine_incre import run_shine_mapping_incremental
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.iters = 60
+    cfg.continual_learning_reg = True
+    cfg.freeze_after_frame = 3
+    cfg.mesh_freq_frame = 100  # skip periodic meshing except frame 0
+    cfg.mc_with_octree = True
+    run_path, grid, params = run_shine_mapping_incremental(cfg=cfg)
+    assert os.path.exists(run_path + "/model/model_final.npz")
+    # importance accumulated
+    assert float(np.asarray(grid.importance_weight[0]).max()) > 0
+
+    from shine_mapping_tpu.mesher import Mesher
+
+    mesher = Mesher(cfg, grid, params["geo"], params.get("sem"))
+    mesh = mesher.recon_octree_mesh(
+        cfg.mc_query_level, cfg.mc_res_m, run_path + "/mesh/final.ply", "", False, False
+    )
+    assert mesh.vertices.shape[0] > 300
+
+
+def test_checkpoint_roundtrip_after_training(synth_root, tmp_path):
+    from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
+    from shine_mapping_tpu.utils import checkpoint as ckpt
+    from shine_mapping_tpu.train.optimizer import init_opt_state
+    from shine_mapping_tpu.mesher import _infer_chunk  # reuse jitted query
+    import jax.numpy as jnp
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.iters = 100
+    run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
+
+    grid2, params2, opt2, iters = ckpt.load_checkpoint(
+        run_path + "/model/model_final.npz", params, init_opt_state(params)
+    )
+    assert iters == 100
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.uniform(-0.3, 0.3, (256, 3)).astype(np.float32))
+    from shine_mapping_tpu.ops.query import query_feature
+
+    f1 = np.asarray(query_feature(q, grid.tables, list(params["features"]), grid.levels, True))
+    f2 = np.asarray(query_feature(q, grid2.tables, list(params2["features"]), grid2.levels, True))
+    np.testing.assert_allclose(f1, f2, atol=1e-6)
