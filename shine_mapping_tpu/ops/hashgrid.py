@@ -171,9 +171,18 @@ class _HostLevel:
     def _try_insert_all(self, coords: np.ndarray, rows: np.ndarray) -> bool:
         """Insert nodes into the (cleared or existing) table mirror.
 
+        Vectorized round-based probing: round ``p`` tries slot ``h + d_i``
+        (each key's current displacement); winners per free slot are chosen
+        with np.unique, losers advance their displacement.  Produces a valid
+        open-addressing layout where every key sits within PROBE slots of
+        its hash — the only invariant the device lookup needs.
+
         Returns False if any key's probe window overflowed (caller rebuilds
         with a larger table).
         """
+        n = coords.shape[0]
+        if n == 0:
+            return True
         S = self.node_capacity
         mask = np.uint32(S - 1)
         x = coords[:, 0].astype(np.uint32)
@@ -181,22 +190,35 @@ class _HostLevel:
         z = coords[:, 2].astype(np.uint32)
         ka = (x << np.uint32(16)) | y
         h = ((x * _H1) ^ (y * _H2) ^ (z * _H3)) & mask
-        # sequential placement (numpy loop in C would be nicer; this runs
-        # once per frame on the new nodes only)
-        for i in range(coords.shape[0]):
-            placed = False
-            hi = int(h[i])
-            for p in range(PROBE):
-                s = (hi + p) & int(mask)
-                if self.key_b[s] == EMPTY:
-                    self.key_a[s] = ka[i]
-                    self.key_b[s] = z[i]
-                    self.corner_idx[s] = rows[i]
-                    placed = True
-                    break
-            if not placed:
+
+        pending = np.arange(n)
+        disp = np.zeros(n, dtype=np.uint32)
+        # a key advances its displacement at most once per round; allow a few
+        # extra rounds so slot contention inside one batch doesn't force a
+        # premature rebuild
+        for _round in range(4 * PROBE):
+            if pending.size == 0:
+                return True
+            slots = (h[pending] + disp[pending]) & mask
+            free = self.key_b[slots] == EMPTY
+            # among pending keys targeting the same free slot, first wins
+            cand = np.nonzero(free)[0]
+            if cand.size:
+                uniq_slots, first = np.unique(slots[cand], return_index=True)
+                winners = pending[cand[first]]
+                self.key_a[uniq_slots] = ka[winners]
+                self.key_b[uniq_slots] = z[winners]
+                self.corner_idx[uniq_slots] = rows[winners]
+                placed = np.zeros(pending.size, dtype=bool)
+                placed[cand[first]] = True
+            else:
+                placed = np.zeros(pending.size, dtype=bool)
+            disp[pending[~placed]] += 1
+            over = disp[pending[~placed]] >= PROBE
+            if np.any(over):
                 return False
-        return True
+            pending = pending[~placed]
+        return pending.size == 0
 
     def _rebuild_table(self) -> None:
         """Re-hash every node into a (possibly larger) fresh table."""
@@ -305,7 +327,9 @@ class HashGridHost:
         zero-extended and the last-frame feature snapshot refreshed
         (model/feature_octree.py:143-146,157-160).
         """
-        surface_points = np.asarray(surface_points, dtype=np.float64)
+        # float32, matching the device-side query quantization exactly — a
+        # float64 build would disagree with f32 queries at voxel boundaries
+        surface_points = np.asarray(surface_points, dtype=np.float32)
         for li, hl in enumerate(self.host_levels):
             level = hl.level
             q = quantize_points_np(surface_points, level)

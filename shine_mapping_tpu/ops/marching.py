@@ -94,12 +94,58 @@ def _build_cases() -> None:
 _build_cases()
 
 
+def marching_tetrahedra_native(
+    sdf: np.ndarray,
+    level: float = 0.0,
+    mask: Optional[np.ndarray] = None,
+    spacing: float = 1.0,
+    origin: Optional[np.ndarray] = None,
+):
+    """C++ path (native/marching.cpp); returns None if the lib is missing."""
+    import ctypes
+
+    from .native_build import load_library
+
+    lib = load_library("marching")
+    if lib is None:
+        return None
+    lib.mt_run.restype = ctypes.c_void_p
+    sdf32 = np.ascontiguousarray(sdf, dtype=np.float32)
+    X, Y, Z = sdf32.shape
+    mask_ptr = None
+    if mask is not None:
+        mask8 = np.ascontiguousarray(mask, dtype=np.uint8)
+        mask_ptr = mask8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    origin_arr = np.zeros(3) if origin is None else np.asarray(origin, np.float64)
+    origin_arr = np.ascontiguousarray(origin_arr)
+    handle = lib.mt_run(
+        sdf32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask_ptr,
+        ctypes.c_int64(X), ctypes.c_int64(Y), ctypes.c_int64(Z),
+        ctypes.c_float(level), ctypes.c_double(spacing),
+        origin_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    lib.mt_counts(ctypes.c_void_p(handle), ctypes.byref(nv), ctypes.byref(nf))
+    verts = np.empty((nv.value, 3), np.float64)
+    faces = np.empty((nf.value, 3), np.int64)
+    lib.mt_copy(
+        ctypes.c_void_p(handle),
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    lib.mt_free(ctypes.c_void_p(handle))
+    return verts, faces
+
+
 def marching_tetrahedra(
     sdf: np.ndarray,
     level: float = 0.0,
     mask: Optional[np.ndarray] = None,
     spacing: float = 1.0,
     origin: Optional[np.ndarray] = None,
+    prefer_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Extract the ``level`` iso-surface of a dense 3D field.
 
@@ -115,6 +161,11 @@ def marching_tetrahedra(
         vertices: (V, 3) float64, deduplicated on shared edges.
         triangles: (F, 3) int64, wound so normals point toward +field.
     """
+    if prefer_native:
+        out = marching_tetrahedra_native(sdf, level, mask, spacing, origin)
+        if out is not None:
+            return out
+
     sdf = np.asarray(sdf, dtype=np.float64)
     X, Y, Z = sdf.shape
     if X < 2 or Y < 2 or Z < 2:

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models import decoder
-from ..ops.hashgrid import LevelTable
+from ..ops.hashgrid import LevelTable, lookup_level
+from ..ops.interp import corner_weights
 from ..ops.query import query_feature_with_aux
 from . import losses
 from .optimizer import (
@@ -38,6 +39,7 @@ from .optimizer import (
     make_group_trees,
     sgd_update,
 )
+from .sparse_adam import segment_by_row, sparse_adam_level
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +80,12 @@ class TrainSettings:
     lr_decay_step: Tuple[int, ...] = (10000, 50000, 100000)
     # decoder freezing (incremental mode, shine_incre.py:93-97)
     freeze_decoder: bool = False
+    # lazy (touched-rows-only) Adam for the feature tables — mathematically
+    # identical gradients, avoids the full-table optimizer sweep that
+    # dominates on bandwidth-bound chips once maps reach millions of
+    # corners.  Dense fallback (reference-exact optimizer semantics) is used
+    # automatically when the consistency loss needs off-batch lookups.
+    sparse_feature_update: bool = True
 
     @classmethod
     def from_config(cls, cfg, levels: Tuple[int, ...], **overrides) -> "TrainSettings":
@@ -263,6 +271,88 @@ def _compute_loss(params, tables, batch, shadow, key, s: TrainSettings):
     return total, aux
 
 
+def _compute_loss_sparse(dense_params, G_list, batch, corners, found, key, s: TrainSettings):
+    """Loss with the feature tables factored out as gathered rows ``G_list``.
+
+    ``G_list[i]`` is (B, 8, D) — the batch's corner feature rows per level.
+    The field value/gradient is linear in G given the (fixed) structure, so
+    d loss/d features = scatter-add of d loss/d G over the corner rows; the
+    sparse optimizer applies that without materializing dense grad tables.
+    """
+    coords = batch["coord"]
+    weight = batch["weight"]
+    surface_mask = weight > 0
+    aux: Dict[str, jnp.ndarray] = {}
+
+    def feat_of(c):
+        f = None
+        for i, level in enumerate(s.levels):
+            w = corner_weights(c, level, s.poly_int_on)
+            w = jnp.where(found[i][:, None], w, 0.0)
+            contrib = jnp.einsum("nc,ncd->nd", w.astype(G_list[i].dtype), G_list[i])
+            f = contrib if f is None else f + contrib
+        return f
+
+    def pred_of(c):
+        f = feat_of(c)
+        if s.time_conditioned:
+            return decoder.time_conditioned_sdf(dense_params["geo"], f, batch["ts"])
+        return decoder.sdf(dense_params["geo"], f)
+
+    feat = feat_of(coords)
+    if s.time_conditioned:
+        pred = decoder.time_conditioned_sdf(dense_params["geo"], feat, batch["ts"])
+    else:
+        pred = decoder.sdf(dense_params["geo"], feat)
+
+    need_grad = s.ekional_loss_on or s.normal_loss_on
+    if need_grad:
+        g = jax.grad(lambda c: jnp.sum(pred_of(c)))(coords) * s.sigma_sigmoid
+
+    total = jnp.zeros((), jnp.float32)
+    if s.ray_loss:
+        pred_occ = jax.nn.sigmoid(pred / dense_params["sigma"])
+        pred_ray = pred_occ.reshape(-1, s.ray_sample_count)
+        depth_ray = batch["sample_depth"].reshape(-1, s.ray_sample_count)
+        dr = losses.batch_ray_rendering_loss(
+            depth_ray, pred_ray, batch["ray_depth"], neus_on=(s.main_loss_type == "dr_neus")
+        )
+        total = total + dr
+        aux["sdf_loss"] = dr
+    else:
+        w = jnp.abs(weight)
+        if s.main_loss_type == "sdf_bce":
+            sdf_loss = losses.sdf_bce_loss(
+                pred, batch["sdf_label"], s.sigma_sigmoid, w, s.loss_weight_on, s.loss_reduction
+            )
+        elif s.main_loss_type == "sdf_l1":
+            sdf_loss = losses.sdf_diff_loss(pred, batch["sdf_label"], w, s.scale, False)
+        elif s.main_loss_type == "sdf_l2":
+            sdf_loss = losses.sdf_diff_loss(pred, batch["sdf_label"], w, s.scale, True)
+        else:
+            raise ValueError(f"unknown main_loss_type {s.main_loss_type}")
+        total = total + sdf_loss
+        aux["sdf_loss"] = sdf_loss
+
+    if s.ekional_loss_on:
+        ek = losses.eikonal_loss(g, surface_mask)
+        total = total + s.weight_e * ek
+        aux["eikonal_loss"] = ek
+    if s.normal_loss_on:
+        nl = losses.normal_loss(g, batch["normal_label"], surface_mask)
+        total = total + s.weight_n * nl
+        aux["normal_loss"] = nl
+    if s.semantic_on:
+        sem_pred = decoder.sem_label_prob(dense_params["sem"], feat)
+        d = s.sem_label_decimation
+        sl = losses.sem_nll_loss(sem_pred[::d], batch["sem_label"][::d])
+        total = total + s.weight_s * sl
+        aux["sem_loss"] = sl
+
+    aux["total_loss"] = total
+    return total, aux
+
+
 def _gather_batch(pool, idx, s: TrainSettings):
     batch = {
         "coord": pool["coord"][idx],
@@ -320,9 +410,11 @@ def train_chunk(
                 lambda _: 0.0, lr_scale_tree[grp]
             )
 
-    def body(carry, it):
-        params, opt_state, key = carry
-        key, k_idx, k_loss = jax.random.split(key, 3)
+    use_sparse = (
+        s.sparse_feature_update and s.opt_adam and not s.consistency_loss_on
+    )
+
+    def sample_batch(k_idx):
         if s.ray_loss:
             # sample rays, expand to their consecutive samples
             # (dataset/lidar_dataset.py:402-410)
@@ -342,7 +434,12 @@ def train_chunk(
                 k: jax.lax.with_sharding_constraint(v, batch_sharding)
                 for k, v in batch.items()
             }
+        return batch
 
+    def body_dense(carry, it):
+        params, opt_state, key = carry
+        key, k_idx, k_loss = jax.random.split(key, 3)
+        batch = sample_batch(k_idx)
         (loss, aux), grads = jax.value_and_grad(_compute_loss, has_aux=True)(
             params, tables, batch, shadow, k_loss, s
         )
@@ -359,6 +456,86 @@ def train_chunk(
                 params, grads, opt_state, lr, lr_scale_tree, wd_tree
             )
         return (params, opt_state, key), aux
+
+    def body_sparse(carry, it):
+        params, opt_state, key = carry
+        key, k_idx, k_loss = jax.random.split(key, 3)
+        batch = sample_batch(k_idx)
+        coords = batch["coord"]
+
+        # structure lookups + row gathers (outside the diff region)
+        corners = []
+        found = []
+        G_list = []
+        for i, level in enumerate(s.levels):
+            c_i, f_i = lookup_level(tables[i], coords, level)
+            corners.append(c_i)
+            found.append(f_i)
+            G_list.append(params["features"][i][c_i])
+
+        dense_params = {k: v for k, v in params.items() if k != "features"}
+        (loss, aux), (g_dense, g_G) = jax.value_and_grad(
+            _compute_loss_sparse, argnums=(0, 1), has_aux=True
+        )(dense_params, G_list, batch, corners, found, k_loss, s)
+
+        lr = lr_at_step(
+            s.lr, start_iter + it, s.lr_decay_step, s.lr_iters_reduce_ratio
+        )
+
+        # dense Adam for the (tiny) decoder/sigma params
+        dense_state = OptState(
+            m={k: opt_state.m[k] for k in dense_params},
+            v={k: opt_state.v[k] for k in dense_params},
+            step=opt_state.step,
+        )
+        dense_scale = {k: lr_scale_tree[k] for k in dense_params}
+        dense_wd = {k: wd_tree[k] for k in dense_params}
+        new_dense, dense_state = adam_update(
+            dense_params, g_dense, dense_state, lr, dense_scale, dense_wd,
+            b1=0.9, b2=0.99, eps=s.adam_eps,
+        )
+
+        # lazy Adam on the touched feature rows per level
+        new_feats = []
+        new_m = []
+        new_v = []
+        reg_total = jnp.zeros((), jnp.float32)
+        for i in range(len(s.levels)):
+            feats_i = params["features"][i]
+            seg = segment_by_row(corners[i], g_G[i], feats_i.shape[0])
+            level_lr = lr * (s.lr_level_reduce_ratio ** i)
+            if s.continual_reg_on:
+                f_i2, m_i2, v_i2, reg_i = sparse_adam_level(
+                    feats_i, opt_state.m["features"][i], opt_state.v["features"][i],
+                    seg, level_lr, dense_state.step, eps=s.adam_eps,
+                    reg_lambda=s.lambda_forget,
+                    importance=shadow["importance"][i],
+                    last_frame=shadow["last_frame"][i],
+                )
+                reg_total = reg_total + reg_i
+            else:
+                f_i2, m_i2, v_i2, _ = sparse_adam_level(
+                    feats_i, opt_state.m["features"][i], opt_state.v["features"][i],
+                    seg, level_lr, dense_state.step, eps=s.adam_eps,
+                )
+            new_feats.append(f_i2)
+            new_m.append(m_i2)
+            new_v.append(v_i2)
+
+        if s.continual_reg_on:
+            aux["reg_loss"] = reg_total
+            aux["total_loss"] = aux["total_loss"] + s.lambda_forget * reg_total
+
+        params = dict(new_dense)
+        params["features"] = tuple(new_feats)
+        opt_state = OptState(
+            m=dict(dense_state.m, features=tuple(new_m)),
+            v=dict(dense_state.v, features=tuple(new_v)),
+            step=dense_state.step,
+        )
+        return (params, opt_state, key), aux
+
+    body = body_sparse if use_sparse else body_dense
 
     (params, opt_state, _), aux_hist = jax.lax.scan(
         body, (params, opt_state, key), jnp.arange(n_iters)
