@@ -84,6 +84,16 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     # ---------------------------------------------------------------- training
     print("Begin mapping")
     tables = tuple(grid.tables)
+    batch_sharding = None
+    if cfg.mesh_shape > 1:
+        from ..parallel import mesh as pmesh
+
+        dp_mesh = pmesh.make_data_mesh(cfg.mesh_shape)
+        params, opt_state, tables, dev_pool, shadow = pmesh.place_training_state(
+            dp_mesh, params, opt_state, tables, dev_pool, shadow
+        )
+        batch_sharding = pmesh.batch_sharded(dp_mesh)
+        print(f"data-parallel over {cfg.mesh_shape} devices")
     t_train0 = time.time()
     done_iters = 0
     for start, n in event_boundaries(
@@ -94,6 +104,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         params, opt_state, aux = trainer.train_chunk(
             params, opt_state, tables, dev_pool, shadow,
             n_valid, jnp.int32(start), k, settings, n,
+            batch_sharding=batch_sharding,
         )
         t1 = get_time(aux["mean"]["total_loss"])
         done_iters = start + n

@@ -145,6 +145,11 @@ def load_torch_decoder(path: str, key: str = "geo_decoder") -> Params:
     import torch  # lazy: torch is only needed for interop
 
     loaded = torch.load(path, map_location="cpu", weights_only=False)
-    state = loaded[key] if key in loaded else loaded
+    if key in loaded:
+        state = loaded[key]
+    elif any(hasattr(v, "detach") for v in loaded.values()):
+        state = loaded  # the file IS a bare state_dict
+    else:
+        raise KeyError(f"{key} not found in {path}")
     state = {k: v.detach().cpu().numpy() for k, v in state.items()}
     return params_from_torch_state_dict(state)
