@@ -134,21 +134,44 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             sync_features_to_grid(grid, params)
             mesher.geo_params = params["geo"]
             mesher.sem_params = params.get("sem")
-            mesh_path = f"{run_path}/mesh/mesh_iter_{done_iters}.ply"
-            map_path = f"{run_path}/map/sdf_map_iter_{done_iters}.ply"
             print("Begin mesh reconstruction from the implicit map")
-            if cfg.mc_with_octree:
-                cur_mesh = mesher.recon_octree_mesh(
-                    cfg.mc_query_level, cfg.mc_res_m, mesh_path, map_path,
-                    cfg.save_map, cfg.semantic_on,
-                )
+            if not cfg.time_conditioned:
+                mesh_path = f"{run_path}/mesh/mesh_iter_{done_iters}.ply"
+                map_path = f"{run_path}/map/sdf_map_iter_{done_iters}.ply"
+                if cfg.mc_with_octree:
+                    cur_mesh = mesher.recon_octree_mesh(
+                        cfg.mc_query_level, cfg.mc_res_m, mesh_path, map_path,
+                        cfg.save_map, cfg.semantic_on,
+                    )
+                else:
+                    cur_mesh = mesher.recon_bbx_mesh(
+                        dataset.map_bbx, cfg.mc_res_m, mesh_path, map_path,
+                        cfg.save_map, cfg.semantic_on,
+                    )
+                if vis is not None:
+                    vis.update_mesh(cur_mesh)
             else:
-                cur_mesh = mesher.recon_bbx_mesh(
-                    dataset.map_bbx, cfg.mc_res_m, mesh_path, map_path,
-                    cfg.save_map, cfg.semantic_on,
-                )
-            if vis is not None:
-                vis.update_mesh(cur_mesh)
+                # one mesh per (even) timestamp — reference shine_batch.py:248-264
+                for frame_id in dataset.frame_ids():
+                    if frame_id % 2 != 0:
+                        continue
+                    mesher.ts = frame_id
+                    mesh_path = (
+                        f"{run_path}/mesh/mesh_iter_{done_iters}_ts_{frame_id}.ply"
+                    )
+                    map_path = (
+                        f"{run_path}/map/sdf_map_iter_{done_iters}_ts_{frame_id}.ply"
+                    )
+                    if cfg.mc_with_octree:
+                        mesher.recon_octree_mesh(
+                            cfg.mc_query_level, cfg.mc_res_m, mesh_path, map_path,
+                            cfg.save_map, cfg.semantic_on,
+                        )
+                    else:
+                        mesher.recon_bbx_mesh(
+                            dataset.map_bbx, cfg.mc_res_m, mesh_path, map_path,
+                            cfg.save_map, cfg.semantic_on,
+                        )
 
     t_train1 = time.time()
     print(f"training: {t_train1 - t_train0:.1f} s for {done_iters} iters")
