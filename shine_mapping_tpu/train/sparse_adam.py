@@ -46,18 +46,20 @@ def segment_by_row(
     vals = contribs.reshape(M, D)
 
     order = jnp.argsort(idx)
-    sidx = idx[order]
-    svals = vals[order]
+    perm_hints = dict(unique_indices=True, mode="promise_in_bounds")
+    sidx = idx.at[order].get(**perm_hints)
+    svals = vals.at[order].get(**perm_hints)
 
     seg_end = jnp.concatenate(
         [sidx[1:] != sidx[:-1], jnp.ones((1,), bool)]
     )  # last element of each run
     csum = jnp.cumsum(svals, axis=0)
     end_pos = jnp.nonzero(seg_end, size=M, fill_value=M - 1)[0]
-    seg_tot = csum[end_pos]  # cumulative at each segment end (S valid)
+    # end positions ascend while valid, then repeat M-1 (zero-delta tail)
+    seg_tot = csum.at[end_pos].get(indices_are_sorted=True, mode="promise_in_bounds")
     prev = jnp.concatenate([jnp.zeros((1, D), svals.dtype), seg_tot[:-1]], axis=0)
     seg_sum = seg_tot - prev
-    seg_key = sidx[end_pos]
+    seg_key = sidx.at[end_pos].get(indices_are_sorted=True, mode="promise_in_bounds")
 
     n_seg = jnp.sum(seg_end.astype(jnp.int32))
     valid = jnp.arange(M) < n_seg
@@ -89,15 +91,22 @@ def sparse_adam_level(
     returned for logging (reference shine_incre.py:155-157).
     """
     rows = seg.rows
-    p_rows = features[rows]
-    m_rows = m[rows]
-    v_rows = v[rows]
+    # rows are ascending (valid segment keys ascending, then a constant
+    # trashbin tail) — tell XLA so scatter/gather take the fast path.
+    # unique_indices is safe despite the trashbin duplicates: every
+    # duplicate entry carries an exactly-zero delta, so any
+    # ordering/overwrite of those read-modify-writes leaves the row equal
+    # to its base value.
+    hints = dict(indices_are_sorted=True, unique_indices=True, mode="promise_in_bounds")
+    p_rows = features.at[rows].get(**hints)
+    m_rows = m.at[rows].get(**hints)
+    v_rows = v.at[rows].get(**hints)
     g = seg.grads
 
     reg_value = jnp.zeros((), features.dtype)
     if reg_lambda > 0.0 and importance is not None and last_frame is not None:
-        imp = importance[rows]
-        diff = p_rows - last_frame[rows]
+        imp = importance.at[rows].get(**hints)
+        diff = p_rows - last_frame.at[rows].get(**hints)
         vmask = seg.valid[:, None].astype(features.dtype)
         reg_value = jnp.sum(imp * diff * diff * vmask)
         g = g + reg_lambda * 2.0 * imp * diff * vmask
@@ -110,7 +119,7 @@ def sparse_adam_level(
     update = lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
 
     vmask = seg.valid[:, None].astype(features.dtype)
-    features = features.at[rows].add(-update * vmask)
-    m = m.at[rows].add((m_new - m_rows) * vmask)
-    v = v.at[rows].add((v_new - v_rows) * vmask)
+    features = features.at[rows].add(-update * vmask, **hints)
+    m = m.at[rows].add((m_new - m_rows) * vmask, **hints)
+    v = v.at[rows].add((v_new - v_rows) * vmask, **hints)
     return features, m, v, reg_value
