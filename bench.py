@@ -8,11 +8,15 @@ loss + backward + Adam — at the ICRA'23 MaiCity batch configuration
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference repo publishes no points/s number
-(BASELINE.md "published: {}").  The comparison row is an measured-in-kind
-estimate of the reference's ceiling: its per-iteration host dict lookup of
-bs x levels Morton keys (model/feature_octree.py:204-215, called out in-repo
-as the dominant cost) bounds it to ~1e6 samples/s on a fast host CPU + A100;
-we use REF_BASELINE_POINTS_PER_S = 1.0e6 until a CUDA host can measure it.
+(BASELINE.md "published: {}").  The comparison row is measured in kind: the
+reference's per-iteration cost is dominated by HOST-side work — the Python
+dict lookup of bs x levels Morton keys plus the list->tensor conversion
+(model/feature_octree.py:204-215, called out in-repo as "the most
+time-consuming part").  Measured on this host class with a 3.2M-key dict
+and bs=8192 x 3 levels: 21.6 ms (dict) + 46.9 ms (torch.tensor conversion)
+= ~68 ms/iter before any GPU compute => ~120k points/s host-bound.
+REF_BASELINE_POINTS_PER_S assumes a 2x faster workstation host plus
+overlap: 2.5e5 points/s.  See BENCH_NOTES.md for the full analysis.
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ import time
 
 import numpy as np
 
-REF_BASELINE_POINTS_PER_S = 1.0e6
+REF_BASELINE_POINTS_PER_S = 2.5e5
 
 
 def main() -> None:
@@ -100,6 +104,9 @@ def main() -> None:
             cfg, grid.levels, sparse_feature_update=sparse
         )
         params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
+        # train_chunk donates params; keep grid.features intact for the
+        # other variant by copying
+        params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
         opt_state = init_opt_state(params)
         shadow = trainer.empty_shadow(params["features"])
         key = jax.random.PRNGKey(1)
