@@ -62,6 +62,9 @@ class TrainSettings:
     weight_c: float = 1.0
     consistency_count: int = 1000
     consistency_range: float = 0.1
+    # projective-distance correction by the cosine between the SDF gradient
+    # and the ray (reference shine_batch.py:144-147)
+    proj_correction_on: bool = False
     semantic_on: bool = False
     weight_s: float = 1.0
     sem_label_decimation: int = 1
@@ -106,6 +109,7 @@ class TrainSettings:
             weight_c=cfg.weight_c,
             consistency_count=cfg.consistency_count,
             consistency_range=cfg.consistency_range,
+            proj_correction_on=cfg.proj_correction_on,
             semantic_on=cfg.semantic_on,
             weight_s=cfg.weight_s,
             sem_label_decimation=cfg.sem_label_decimation,
@@ -201,9 +205,24 @@ def _compute_loss(params, tables, batch, shadow, key, s: TrainSettings):
 
     pred, feat, corners, found = _forward_sdf(params, tables, coords, batch["ts"], s)
 
-    need_grad = s.ekional_loss_on or s.normal_loss_on or s.consistency_loss_on
+    need_grad = (
+        s.ekional_loss_on or s.normal_loss_on or s.consistency_loss_on
+        or s.proj_correction_on
+    )
     if need_grad:
         g = _point_gradient(params, tables, coords, batch["ts"], s) * s.sigma_sigmoid
+
+    sdf_target = batch["sdf_label"] if "sdf_label" in batch else None
+    if s.proj_correction_on and sdf_target is not None:
+        # scale surface samples' projective labels by |cos(grad, ray)|;
+        # free-space samples keep cos = 1 (shine_batch.py:144-147)
+        ray = coords - batch["origin"]
+        cos = jnp.abs(
+            jnp.sum(g * ray, axis=-1)
+            / (jnp.linalg.norm(g, axis=-1) * jnp.linalg.norm(ray, axis=-1) + 1e-12)
+        )
+        cos = jnp.where(surface_mask, cos, 1.0)
+        sdf_target = sdf_target * cos
 
     total = jnp.zeros((), jnp.float32)
     if s.ray_loss:
@@ -220,12 +239,12 @@ def _compute_loss(params, tables, batch, shadow, key, s: TrainSettings):
         w = jnp.abs(weight)
         if s.main_loss_type == "sdf_bce":
             sdf_loss = losses.sdf_bce_loss(
-                pred, batch["sdf_label"], s.sigma_sigmoid, w, s.loss_weight_on, s.loss_reduction
+                pred, sdf_target, s.sigma_sigmoid, w, s.loss_weight_on, s.loss_reduction
             )
         elif s.main_loss_type == "sdf_l1":
-            sdf_loss = losses.sdf_diff_loss(pred, batch["sdf_label"], w, s.scale, False)
+            sdf_loss = losses.sdf_diff_loss(pred, sdf_target, w, s.scale, False)
         elif s.main_loss_type == "sdf_l2":
-            sdf_loss = losses.sdf_diff_loss(pred, batch["sdf_label"], w, s.scale, True)
+            sdf_loss = losses.sdf_diff_loss(pred, sdf_target, w, s.scale, True)
         else:
             raise ValueError(f"unknown main_loss_type {s.main_loss_type}")
         total = total + sdf_loss
@@ -305,9 +324,21 @@ def _compute_loss_sparse(dense_params, G_list, batch, corners, found, key, s: Tr
     else:
         pred = decoder.sdf(dense_params["geo"], feat)
 
-    need_grad = s.ekional_loss_on or s.normal_loss_on
+    need_grad = s.ekional_loss_on or s.normal_loss_on or s.proj_correction_on
     if need_grad:
         g = jax.grad(lambda c: jnp.sum(pred_of(c)))(coords) * s.sigma_sigmoid
+
+    sdf_target = batch.get("sdf_label")
+    if s.proj_correction_on and sdf_target is not None:
+        # scale surface samples' projective labels by |cos(grad, ray)|;
+        # free-space samples keep cos = 1 (shine_batch.py:144-147)
+        ray = coords - batch["origin"]
+        cos = jnp.abs(
+            jnp.sum(g * ray, axis=-1)
+            / (jnp.linalg.norm(g, axis=-1) * jnp.linalg.norm(ray, axis=-1) + 1e-12)
+        )
+        cos = jnp.where(surface_mask, cos, 1.0)
+        sdf_target = sdf_target * cos
 
     total = jnp.zeros((), jnp.float32)
     if s.ray_loss:
@@ -323,12 +354,12 @@ def _compute_loss_sparse(dense_params, G_list, batch, corners, found, key, s: Tr
         w = jnp.abs(weight)
         if s.main_loss_type == "sdf_bce":
             sdf_loss = losses.sdf_bce_loss(
-                pred, batch["sdf_label"], s.sigma_sigmoid, w, s.loss_weight_on, s.loss_reduction
+                pred, sdf_target, s.sigma_sigmoid, w, s.loss_weight_on, s.loss_reduction
             )
         elif s.main_loss_type == "sdf_l1":
-            sdf_loss = losses.sdf_diff_loss(pred, batch["sdf_label"], w, s.scale, False)
+            sdf_loss = losses.sdf_diff_loss(pred, sdf_target, w, s.scale, False)
         elif s.main_loss_type == "sdf_l2":
-            sdf_loss = losses.sdf_diff_loss(pred, batch["sdf_label"], w, s.scale, True)
+            sdf_loss = losses.sdf_diff_loss(pred, sdf_target, w, s.scale, True)
         else:
             raise ValueError(f"unknown main_loss_type {s.main_loss_type}")
         total = total + sdf_loss
@@ -364,6 +395,8 @@ def _gather_batch(pool, idx, s: TrainSettings):
         batch["sample_depth"] = pool["sample_depth"][idx]
     if s.normal_loss_on:
         batch["normal_label"] = pool["normal_label"][idx]
+    if s.proj_correction_on:
+        batch["origin"] = pool["origin"][idx]
     if s.semantic_on:
         batch["sem_label"] = pool["sem_label"][idx]
     return batch
@@ -574,6 +607,8 @@ def pool_to_device(pool, capacity: int, settings: TrainSettings):
         dev["ray_depth"] = pad(pool.ray_depth, capacity // settings.ray_sample_count)
     if settings.normal_loss_on and pool.normal_label is not None:
         dev["normal_label"] = pad(pool.normal_label, capacity)
+    if settings.proj_correction_on:
+        dev["origin"] = pad(pool.origin, capacity)
     if settings.semantic_on and pool.sem_label is not None:
         dev["sem_label"] = pad(pool.sem_label, capacity)
     return dev, jnp.int32(n)
