@@ -40,7 +40,35 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from .morton import CORNER_OFFSETS, quantize_points, quantize_points_np
+
+
+@functools.partial(jax.jit, donate_argnames=("arr",))
+def _scatter_set(arr: jnp.ndarray, idx: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+    """In-place (donated) row scatter used by structure growth."""
+    return arr.at[idx].set(vals)
+
+
+def _pad_pow2(idx: np.ndarray, *vals: np.ndarray):
+    """Pad update batches to pow2 length (repeat last entry — idempotent
+    set) so growth reuses a handful of compiled scatter executables instead
+    of one per frame-specific shape."""
+    n = idx.shape[0]
+    if n == 0:
+        return (None,) * (1 + len(vals))
+    cap = 1
+    while cap < n:
+        cap *= 2
+    pad = cap - n
+
+    def p(a):
+        if pad:
+            a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+        return jnp.asarray(a)
+
+    return (p(idx),) + tuple(p(v) for v in vals)
 
 # number of consecutive slots probed on lookup; insertion guarantees every
 # key lands inside its window (the table is rebuilt bigger otherwise)
@@ -367,12 +395,10 @@ class HashGridHost:
                 hl.n_corners, hl.n_corners + n_new_corners, dtype=np.int32
             )
             hl.n_corners += n_new_corners
-            # merge into the sorted membership arrays
-            merged_keys = np.concatenate([hl.corner_keys_sorted, new_ck])
-            merged_rows = np.concatenate([hl.corner_rows_sorted, new_rows])
-            order = np.argsort(merged_keys, kind="stable")
-            hl.corner_keys_sorted = merged_keys[order]
-            hl.corner_rows_sorted = merged_rows[order]
+            # O(n) sorted-merge insert (both arrays already ascending)
+            pos = np.searchsorted(hl.corner_keys_sorted, new_ck)
+            hl.corner_keys_sorted = np.insert(hl.corner_keys_sorted, pos, new_ck)
+            hl.corner_rows_sorted = np.insert(hl.corner_rows_sorted, pos, new_rows)
 
             # rows for all 8 corners of each new node
             pos = np.searchsorted(hl.corner_keys_sorted, corner_keys)
@@ -383,8 +409,10 @@ class HashGridHost:
             hl.node_corner_rows = np.concatenate(
                 [hl.node_corner_rows, rows8], axis=0
             )
-            hl.node_keys_sorted = np.sort(
-                np.concatenate([hl.node_keys_sorted, new_keys])
+            hl.node_keys_sorted = np.insert(
+                hl.node_keys_sorted,
+                np.searchsorted(hl.node_keys_sorted, new_keys),
+                new_keys,
             )
             hl.n_nodes += new_keys.size
 
@@ -415,25 +443,21 @@ class HashGridHost:
                     self.structure_version += 1
                 else:
                     # incremental device scatter: only touched slots
-                    touched = np.nonzero(
-                        (before_a != hl.key_a)
-                        | (self.tables[li].key_b.shape[0] != hl.key_b.shape[0])
-                    )[0]
-                    # (key_b changes exactly where key_a was written or where
-                    #  a slot got filled; recompute robustly)
                     tb = np.asarray(self.tables[li].key_b)
                     touched = np.nonzero(
                         (tb != hl.key_b) | (before_a != hl.key_a)
-                    )[0]
+                    )[0].astype(np.int32)
                     t = self.tables[li]
-                    idx = jnp.asarray(touched.astype(np.int32))
-                    self.tables[li] = LevelTable(
-                        key_a=t.key_a.at[idx].set(jnp.asarray(hl.key_a[touched])),
-                        key_b=t.key_b.at[idx].set(jnp.asarray(hl.key_b[touched])),
-                        corner_idx=t.corner_idx.at[idx].set(
-                            jnp.asarray(hl.corner_idx[touched])
-                        ),
+                    idx_j, ka_j, kb_j, ci_j = _pad_pow2(
+                        touched, hl.key_a[touched], hl.key_b[touched],
+                        hl.corner_idx[touched],
                     )
+                    if idx_j is not None:
+                        self.tables[li] = LevelTable(
+                            key_a=_scatter_set(t.key_a, idx_j, ka_j),
+                            key_b=_scatter_set(t.key_b, idx_j, kb_j),
+                            corner_idx=_scatter_set(t.corner_idx, idx_j, ci_j),
+                        )
 
             # new feature rows: randn * feature_std (reference
             # model/feature_octree.py:139,153)
@@ -441,8 +465,8 @@ class HashGridHost:
                 self.feature_std
                 * self.rng.standard_normal((n_new_corners, self.feature_dim))
             ).astype(np.float32)
-            rows_j = jnp.asarray(new_rows)
-            self.features[li] = self.features[li].at[rows_j].set(jnp.asarray(init))
+            rows_j, init_j = _pad_pow2(new_rows, init)
+            self.features[li] = _scatter_set(self.features[li], rows_j, init_j)
             if incremental_on:
                 # importance rows start at zero (already zero); refresh snapshot
                 self.features_last_frame[li] = self.features[li]

@@ -116,6 +116,37 @@ def test_incremental_driver_end_to_end(synth_root, tmp_path):
     assert mesh.vertices.shape[0] > 300
 
 
+def test_incremental_window_replay_end_to_end(synth_root, tmp_path):
+    """Replay-mode incremental mapping (window filter, no continual reg)."""
+    from shine_mapping_tpu.cli.shine_incre import run_shine_mapping_incremental
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.iters = 60
+    cfg.continual_learning_reg = False
+    cfg.window_replay_on = True
+    cfg.window_radius = 15.0
+    cfg.freeze_after_frame = 2
+    cfg.mesh_freq_frame = 100
+    run_path, grid, params = run_shine_mapping_incremental(cfg=cfg)
+    assert os.path.exists(run_path + "/model/model_final.npz")
+
+    # metrics stream recorded one line per frame with the loss + timings
+    import json
+
+    with open(run_path + "/metrics.jsonl") as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == 5
+    assert all("loss/total_loss" in r and "timing(s)/mapping" in r for r in recs)
+
+    from shine_mapping_tpu.mesher import Mesher
+
+    mesher = Mesher(cfg, grid, params["geo"], params.get("sem"))
+    mesh = mesher.recon_octree_mesh(
+        cfg.mc_query_level, cfg.mc_res_m, run_path + "/mesh/final.ply", "", False, False
+    )
+    assert mesh.vertices.shape[0] > 300
+
+
 def test_checkpoint_roundtrip_after_training(synth_root, tmp_path):
     from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
     from shine_mapping_tpu.utils import checkpoint as ckpt
