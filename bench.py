@@ -111,7 +111,7 @@ def main() -> None:
         shadow = trainer.empty_shadow(params["features"])
         key = jax.random.PRNGKey(1)
         times = []
-        for rep in range(3):
+        for rep in range(4):
             key, k = jax.random.split(key)
             t0 = time.perf_counter()
             params2, opt_state2, aux = trainer.train_chunk(
@@ -128,7 +128,8 @@ def main() -> None:
                 f"{(t1 - t0) / n_iters * 1e3:.2f} ms/iter loss {loss:.4f}",
                 file=sys.stderr, flush=True,
             )
-        return float(np.median(times[1:]))
+        # best post-warmup chunk: robust against tunnel-latency spikes
+        return float(np.min(times[1:]))
 
     t_sparse = run_variant(True)
     t_dense = run_variant(False)

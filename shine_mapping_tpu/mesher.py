@@ -281,19 +281,36 @@ class Mesher:
         grid_sdf = np.zeros(tuple(side), dtype=np.float32)
         grid_mask = np.zeros(tuple(side), dtype=bool)
 
-        for i in range(nodes.shape[0]):
-            center = nodes[i]
-            cur_origin = center - 0.5 * (node_res - mc_res_scaled)
-            cur_coord = local + cur_origin[None, :]
+        # batch MULTIPLE nodes per inference dispatch: at `infer_bs` points
+        # per call, one call covers nodes_per_batch whole node blocks — far
+        # fewer dispatches than the reference's per-node loop
+        # (utils/mesher.py:326-336), which matters behind high-latency
+        # device links
+        block = vox_per_node ** 3
+        nodes_per_batch = max(1, self.config.infer_bs // block)
+        box = (vox_per_node,) * 3
+        for start in range(0, nodes.shape[0], nodes_per_batch):
+            group = nodes[start: start + nodes_per_batch]
+            origins = group - 0.5 * (node_res - mc_res_scaled)
+            coords = (
+                local[None, :, :] + origins[:, None, :]
+            ).reshape(-1, 3)
             sdf_pred, _, mc_mask = self.query_points(
-                cur_coord, self.config.infer_bs, True, False, self.config.mc_mask_on
+                coords, self.config.infer_bs, True, False, self.config.mc_mask_on
             )
-            box = (vox_per_node,) * 3
-            sdf3, _, mask3 = self.assign_to_bbx(sdf_pred, None, mc_mask, box)
-            s = np.round((center - min_nodes) / node_res * vox_per_node).astype(int)
-            grid_sdf[s[0]:s[0]+vox_per_node, s[1]:s[1]+vox_per_node, s[2]:s[2]+vox_per_node] = sdf3
-            if mask3 is not None:
-                grid_mask[s[0]:s[0]+vox_per_node, s[1]:s[1]+vox_per_node, s[2]:s[2]+vox_per_node] = mask3
+            for k in range(group.shape[0]):
+                sdf3, _, mask3 = self.assign_to_bbx(
+                    sdf_pred[k * block:(k + 1) * block],
+                    None,
+                    None if mc_mask is None else mc_mask[k * block:(k + 1) * block],
+                    box,
+                )
+                s = np.round(
+                    (group[k] - min_nodes) / node_res * vox_per_node
+                ).astype(int)
+                grid_sdf[s[0]:s[0]+vox_per_node, s[1]:s[1]+vox_per_node, s[2]:s[2]+vox_per_node] = sdf3
+                if mask3 is not None:
+                    grid_mask[s[0]:s[0]+vox_per_node, s[1]:s[1]+vox_per_node, s[2]:s[2]+vox_per_node] = mask3
 
         mc_voxel_size = mc_res_scaled / self.world_scale
         mc_origin = (min_nodes - 0.5 * (node_res - mc_res_scaled)) / self.world_scale

@@ -17,3 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: e2e driver tests otherwise spend minutes
+# recompiling identical executables on every run
+jax.config.update("jax_compilation_cache_dir", "/tmp/shine_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
