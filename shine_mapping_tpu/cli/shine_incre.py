@@ -100,10 +100,20 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
 
         T1 = time.time()
         tables = tuple(grid.tables)
+        batch_sharding = None
+        if cfg.mesh_shape > 1:
+            from ..parallel import mesh as pmesh
+
+            dp_mesh = pmesh.make_data_mesh(cfg.mesh_shape)
+            params, opt_state, tables, dev_pool, shadow = pmesh.place_training_state(
+                dp_mesh, params, opt_state, tables, dev_pool, shadow
+            )
+            batch_sharding = pmesh.batch_sharded(dp_mesh)
         key, k = jax.random.split(key)
         params, opt_state, aux = trainer.train_chunk(
             params, opt_state, tables, dev_pool, shadow,
             n_valid, jnp.int32(0), k, settings, cfg.iters,
+            batch_sharding=batch_sharding,
         )
         jax.block_until_ready(aux["mean"]["total_loss"])
         total_iter += cfg.iters
