@@ -40,16 +40,38 @@ def build_grid(cfg: SHINEConfig) -> HashGridHost:
     )
 
 
-def maybe_load_model(cfg: SHINEConfig, grid: HashGridHost, params):
-    """Load pretrained decoders (and optionally the whole map) — mirrors
-    shine_batch.py:45-55.  Returns (grid, params, freeze_decoder)."""
-    freeze = False
-    if cfg.load_model and cfg.model_path and os.path.exists(cfg.model_path):
-        if cfg.model_path.endswith(".pth") or cfg.model_path.endswith(".npz"):
-            params = ckpt.load_decoders(cfg.model_path, params)
-            freeze = True
-            print("Pretrained decoder loaded")
-    return grid, params, freeze
+def maybe_load_model(cfg: SHINEConfig, grid: HashGridHost):
+    """Load a pretrained model BEFORE the data phase — mirrors
+    shine_batch.py:45-55 incl. the 'feature_octree' branch: a full .npz
+    checkpoint restores the whole map structure (which then keeps growing
+    from new frames); otherwise only the decoders load.
+
+    Returns (grid, decoder_params_or_None, freeze_decoder).
+    """
+    if not (cfg.load_model and cfg.model_path and os.path.exists(cfg.model_path)):
+        return grid, None, False
+    if cfg.model_path.endswith(".npz"):
+        d = np.load(cfg.model_path, allow_pickle=False)
+        if any(k.startswith("grid_") for k in d.files):
+            # structure the params skeleton for decoder restore
+            import jax as _jax
+
+            from ..train import trainer as _trainer
+
+            skeleton = _trainer.init_params(cfg, grid, _jax.random.PRNGKey(0))
+            grid2, params2, _, iters = ckpt.load_checkpoint(cfg.model_path, skeleton)
+            grid2.print_detail()
+            print(f"Full checkpoint loaded (iter {iters})")
+            dec = {k: params2[k] for k in ("geo", "sem") if k in params2}
+            return grid2, dec, True
+        dec = ckpt.load_decoders(cfg.model_path, {})
+        print("Pretrained decoder loaded")
+        return grid, dec, True
+    if cfg.model_path.endswith(".pth"):
+        dec = ckpt.load_decoders(cfg.model_path, {})
+        print("Pretrained decoder loaded")
+        return grid, dec, True
+    return grid, None, False
 
 
 def pool_capacity_for(n: int, minimum: int) -> int:

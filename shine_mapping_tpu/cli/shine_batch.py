@@ -50,6 +50,10 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     logger = MetricsLogger(run_path, cfg.wandb_vis_on, run_name=cfg.name)
 
     grid = build_grid(cfg)
+    # load pretrained decoders / resume a full map checkpoint BEFORE the
+    # data phase so new frames grow the restored structure
+    # (shine_batch.py:45-58 ordering)
+    grid, loaded_decoders, freeze = maybe_load_model(cfg, grid)
     dataset = LiDARDataset(cfg, grid)
 
     vis = MapVisualizer() if cfg.o3d_vis_on else None
@@ -57,14 +61,18 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     # ---------------------------------------------------------------- data phase
     print("Load, preprocess and sample data")
     t_data0 = time.time()
-    for frame_id in dataset.frame_ids():
-        dataset.process_frame(frame_id)
+    if cfg.num_workers > 1:
+        dataset.process_frames_pipelined(dataset.frame_ids(), cfg.num_workers)
+    else:
+        for frame_id in dataset.frame_ids():
+            dataset.process_frame(frame_id)
     t_data1 = time.time()
     print(f"data phase: {t_data1 - t_data0:.1f} s, pool={len(dataset.pool)} samples")
     grid.print_detail()
 
     params = trainer.init_params(cfg, grid, jax.random.PRNGKey(cfg.seed))
-    grid_loaded, params, freeze = maybe_load_model(cfg, grid, params)
+    if loaded_decoders:
+        params.update(loaded_decoders)
     settings = trainer.TrainSettings.from_config(
         cfg, grid.levels, freeze_decoder=freeze
     )

@@ -52,11 +52,13 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
     logger = MetricsLogger(run_path, cfg.wandb_vis_on, run_name=cfg.name)
 
     grid = build_grid(cfg)
+    grid, loaded_decoders, loaded_freeze = maybe_load_model(cfg, grid)
     dataset = LiDARDataset(cfg, grid)
     vis = MapVisualizer() if cfg.o3d_vis_on else None
 
     params = trainer.init_params(cfg, grid, jax.random.PRNGKey(cfg.seed))
-    grid, params, loaded_freeze = maybe_load_model(cfg, grid, params)
+    if loaded_decoders:
+        params.update(loaded_decoders)
 
     if cfg.continual_learning_reg:
         cfg.loss_reduction = "sum"  # shine_incre.py:77-78

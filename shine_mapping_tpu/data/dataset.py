@@ -135,6 +135,119 @@ class LiDARDataset:
             pc = preprocess.filter_min_range(pc, cfg.min_range, cfg.min_z)
         return pc, sem_labels
 
+    def load_and_sample(self, frame_id: int, rng: Optional[np.random.Generator] = None):
+        """Order-independent half of frame processing: I/O, preprocessing,
+        scaling and ray sampling (no shared-state mutation).
+
+        Used by the pipelined data phase; ``rng`` defaults to a
+        deterministic per-frame generator so parallel workers don't race on
+        the shared stream.
+        """
+        cfg = self.config
+        if rng is None:
+            rng = np.random.default_rng((cfg.seed, frame_id))
+        pose_ref = self.poses_ref[frame_id]
+        pc, sem_labels = self.read_frame(frame_id)
+
+        bbx_min = np.array([-cfg.pc_radius, -cfg.pc_radius, cfg.min_z])
+        bbx_max = np.array([cfg.pc_radius, cfg.pc_radius, cfg.max_z])
+        if sem_labels is not None:
+            p = pc.points
+            mask = np.all((p >= bbx_min) & (p <= bbx_max), axis=1)
+            pc = pc.select(mask)
+            sem_labels = sem_labels[mask]
+        else:
+            pc = preprocess.crop_bbx(pc, bbx_min, bbx_max)
+
+        if cfg.estimate_normal:
+            pc = preprocess.estimate_normals(
+                pc, cfg.normal_radius_m, cfg.normal_max_nn,
+                orient_towards=np.zeros(3),
+            )
+        if cfg.rand_downsample:
+            n_before = len(pc)
+            k = int(round(n_before * cfg.rand_down_r))
+            idx = np.sort(rng.choice(n_before, size=min(k, n_before), replace=False))
+            pc = pc.select(idx)
+            if sem_labels is not None:
+                sem_labels = sem_labels[idx]
+        else:
+            if sem_labels is not None:
+                vmin = pc.points.min(axis=0)
+                keys = np.floor((pc.points - vmin) / cfg.vox_down_m).astype(np.int64)
+                packed = (keys[:, 0] << 42) | (keys[:, 1] << 21) | keys[:, 2]
+                _, first = np.unique(packed, return_index=True)
+                pc = pc.select(np.sort(first))
+                sem_labels = sem_labels[np.sort(first)]
+            else:
+                pc = preprocess.voxel_downsample(pc, cfg.vox_down_m)
+        if cfg.filter_noise:
+            pc = preprocess.statistical_outlier_removal(pc, cfg.sor_nn, cfg.sor_std)
+
+        frame_origin = pose_ref[:3, 3] * cfg.scale
+        pc_ref = pc.transform(pose_ref)
+        frame_down = preprocess.voxel_downsample(pc_ref, cfg.map_vox_down_m)
+        points_s = (pc_ref.points * cfg.scale).astype(np.float64)
+        normals = pc_ref.normals if cfg.estimate_normal else None
+        sampled = sample_rays(
+            points_s, frame_origin, self.sampler_params, rng,
+            normals=normals, sem_labels=sem_labels,
+        )
+        return {
+            "frame_id": frame_id,
+            "origin": frame_origin,
+            "points_s": points_s,
+            "frame_down": frame_down,
+            "sampled": sampled,
+        }
+
+    def process_frames_pipelined(self, frame_ids, workers: int = 4,
+                                 incremental_on: bool = False) -> int:
+        """Data phase with overlapped I/O+preprocess+sampling.
+
+        Worker threads run :meth:`load_and_sample` ahead of time; the main
+        thread consumes results IN FRAME ORDER and applies the sequential
+        parts (grid growth, pool accumulation).  Realizes the reference's
+        unused ``num_workers`` intent (utils/config.py:31).
+        """
+        import concurrent.futures as cf
+
+        total = 0
+        with cf.ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+            futures = {f: ex.submit(self.load_and_sample, f) for f in frame_ids}
+            for f in frame_ids:
+                total += self._integrate_frame(futures[f].result(), incremental_on)
+        return total
+
+    def _integrate_frame(self, prep: dict, incremental_on: bool) -> int:
+        """Sequential half: grid growth + pool bookkeeping for one frame."""
+        cfg = self.config
+        frame_id = prep["frame_id"]
+        self.cur_pose_ref = self.poses_ref[frame_id]
+        frame_origin = prep["origin"]
+        self.map_down_pc = self.map_down_pc.concat(prep["frame_down"])
+        self.cur_frame_pc = prep["frame_down"]
+        if len(self.map_down_pc) > 0:
+            self.map_bbx = (
+                self.map_down_pc.points.min(axis=0),
+                self.map_down_pc.points.max(axis=0),
+            )
+            self.cur_bbx = (
+                prep["frame_down"].points.min(axis=0),
+                prep["frame_down"].points.max(axis=0),
+            )
+        coord, sdf_label, normal_label, sem_label, weight, sample_depth, ray_depth = prep["sampled"]
+        if self.grid is not None:
+            if cfg.octree_from_surface_samples:
+                self.grid.update(coord[weight > 0, :], incremental_on)
+            else:
+                self.grid.update(prep["points_s"], incremental_on)
+        self._append_pool(
+            frame_id, frame_origin, coord, sdf_label, normal_label,
+            sem_label, weight, sample_depth, ray_depth, incremental_on,
+        )
+        return coord.shape[0]
+
     def process_frame(self, frame_id: int, incremental_on: bool = False) -> int:
         """Preprocess one frame, sample rays, grow the grid, update the pool.
 
@@ -223,6 +336,16 @@ class LiDARDataset:
             else:
                 self.grid.update(points_s, incremental_on)
 
+        return self._append_pool(
+            frame_id, frame_origin, coord, sdf_label, normal_label,
+            sem_label, weight, sample_depth, ray_depth, incremental_on,
+        )
+
+    def _append_pool(
+        self, frame_id, frame_origin, coord, sdf_label, normal_label,
+        sem_label, weight, sample_depth, ray_depth, incremental_on,
+    ) -> int:
+        cfg = self.config
         origin_rep = np.tile(frame_origin[None, :], (coord.shape[0], 1)).astype(np.float32)
         time_rep = np.full(coord.shape[0], frame_id, np.float32)
 

@@ -81,21 +81,27 @@ def load_checkpoint(path: str, params_like, opt_state_like=None):
 
 
 def save_decoders(path: str, params: Dict[str, Any]) -> None:
-    """Decoders-only export (utils/tools.py:216-230)."""
+    """Decoders-only export (utils/tools.py:216-230).
+
+    Stored with explicit per-weight keys (``geo.w0`` etc.) so they load
+    without a params skeleton.
+    """
     out: Dict[str, np.ndarray] = {}
-    _flatten("geo", params["geo"], out)
-    if "sem" in params:
-        _flatten("sem", params["sem"], out)
+    for grp in ("geo", "sem"):
+        if grp in params:
+            for k, v in params[grp].items():
+                out[f"{grp}.{k}"] = np.asarray(v)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez_compressed(path, **out)
 
 
-def load_decoders(path: str, params: Dict[str, Any]) -> Dict[str, Any]:
-    """Load decoders into an existing params pytree (returns a new dict)."""
+def load_decoders(path: str, params: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Load decoders into (a copy of) an existing params pytree, or into a
+    fresh dict when ``params`` is None/empty."""
+    new = dict(params or {})
     if path.endswith(".pth"):  # reference torch checkpoint interop
         from ..models.decoder import load_torch_decoder
 
-        new = dict(params)
         new["geo"] = load_torch_decoder(path, "geo_decoder")
         try:
             new["sem"] = load_torch_decoder(path, "sem_decoder")
@@ -103,8 +109,12 @@ def load_decoders(path: str, params: Dict[str, Any]) -> Dict[str, Any]:
             pass
         return new
     d = np.load(path, allow_pickle=False)
-    new = dict(params)
-    new["geo"] = _unflatten("geo", params["geo"], d)
-    if any(k.startswith("sem__") for k in d.files):
-        new["sem"] = _unflatten("sem", params["sem"], d)
+    for grp in ("geo", "sem"):
+        loaded = {
+            k.split(".", 1)[1]: jnp.asarray(d[k])
+            for k in d.files
+            if k.startswith(grp + ".")
+        }
+        if loaded:
+            new[grp] = loaded
     return new
