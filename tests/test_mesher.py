@@ -1,0 +1,102 @@
+"""Mesher internals: query grids, masking, artifacts."""
+
+import numpy as np
+import jax
+import pytest
+
+from shine_mapping_tpu.config import SHINEConfig
+from shine_mapping_tpu.data import io
+from shine_mapping_tpu.mesher import Mesher, _remove_vertices
+from shine_mapping_tpu.models import decoder
+from shine_mapping_tpu.ops.hashgrid import HashGridHost
+
+
+@pytest.fixture(scope="module")
+def sphere_setup():
+    cfg = SHINEConfig()
+    cfg.tree_level_world = 6
+    cfg.tree_level_feat = 3
+    cfg.leaf_vox_size = 0.5
+    cfg.bs = 1024
+    cfg.mc_vis_level = 1
+    cfg.derive()
+    cfg.scale = 1.0  # identity world scale for the unit tests
+
+    rng = np.random.default_rng(0)
+    dirs = rng.standard_normal((4000, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    surf = (dirs * 0.5).astype(np.float32)
+    grid = HashGridHost(
+        max_level=cfg.tree_level_world, featured_level_num=cfg.tree_level_feat,
+        feature_dim=cfg.feature_dim, feature_std=cfg.feature_std, seed=0,
+        init_node_capacity=1 << 12, init_corner_capacity=1 << 12,
+    )
+    grid.update(surf)
+    geo = decoder.init_decoder_params(jax.random.PRNGKey(0), cfg.feature_dim)
+    return cfg, grid, geo, surf
+
+
+def test_get_query_from_bbx_padding(sphere_setup):
+    cfg, grid, geo, _ = sphere_setup
+    mesher = Mesher(cfg, grid, geo)
+    bbx = (np.array([-1.0, -1.0, -1.0]), np.array([1.0, 1.0, 1.0]))
+    coord, nxyz, origin = mesher.get_query_from_bbx(bbx, 0.5)
+    # pad_voxel on each side + 1 extra underground voxel (utils/mesher.py:126-130)
+    assert nxyz[0] == int(np.ceil(2.0 / 0.5)) + 2
+    assert nxyz[2] == int(np.ceil(2.0 / 0.5)) + 3
+    assert coord.shape == (nxyz[0] * nxyz[1] * nxyz[2], 3)
+    np.testing.assert_allclose(origin[2], -1.0 - 0.5 - 0.5)
+
+
+def test_query_points_mask_semantics(sphere_setup):
+    cfg, grid, geo, surf = sphere_setup
+    mesher = Mesher(cfg, grid, geo)
+    q = np.concatenate([surf[:64], np.full((64, 3), 0.95, np.float32)])
+    sdf, _, mask = mesher.query_points(q, bs=64, query_sdf=True, query_mask=True)
+    assert mask[:64].all()
+    assert not mask[64:].any()
+    assert np.isfinite(sdf).all()
+
+
+def test_generate_sdf_map_artifact(sphere_setup, tmp_path):
+    cfg, grid, geo, surf = sphere_setup
+    mesher = Mesher(cfg, grid, geo)
+    coord = surf[:128].astype(np.float64)
+    sdf = np.linspace(-1, 1, 128)
+    path = str(tmp_path / "sdf_map.ply")
+    mesher.generate_sdf_map(coord, sdf, None, path)
+    pc = io.read_point_cloud(path)
+    assert len(pc) == 128
+    # sdf stored in intensity, scaled to metres (utils/mesher.py:161)
+    expected = sdf * cfg.logistic_gaussian_ratio * cfg.sigma_sigmoid_m
+    np.testing.assert_allclose(pc.intensity, expected, atol=1e-6)
+
+
+def test_filter_isolated_vertices(sphere_setup):
+    cfg, grid, geo, _ = sphere_setup
+    mesher = Mesher(cfg, grid, geo)
+    # two components: a big fan (10 triangles) and one lone triangle
+    n_fan = 12
+    verts = np.concatenate(
+        [
+            np.zeros((1, 3)),
+            np.stack([np.cos(np.linspace(0, 3, n_fan)), np.sin(np.linspace(0, 3, n_fan)), np.zeros(n_fan)], 1),
+            np.array([[5.0, 5, 5], [6, 5, 5], [5, 6, 5]]),
+        ]
+    )
+    tris = [[0, i + 1, i + 2] for i in range(n_fan - 1)] + [[n_fan + 1, n_fan + 2, n_fan + 3]]
+    mesh = io.TriangleMesh(vertices=verts, triangles=np.array(tris, np.int32))
+    out = mesher.filter_isolated_vertices(mesh, filter_cluster_min_tri=5)
+    # lone triangle removed, fan kept
+    assert out.triangles.shape[0] == n_fan - 1
+    assert not np.any(out.triangles >= n_fan + 1)
+
+
+def test_remove_vertices_compacts():
+    verts = np.arange(12, dtype=np.float64).reshape(4, 3)
+    tris = np.array([[0, 1, 2], [1, 2, 3]], np.int32)
+    mesh = io.TriangleMesh(vertices=verts, triangles=tris)
+    keep = np.array([True, True, True, False])
+    out = _remove_vertices(mesh, keep)
+    assert out.vertices.shape[0] == 3
+    np.testing.assert_array_equal(out.triangles, [[0, 1, 2]])
