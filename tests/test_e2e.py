@@ -147,6 +147,21 @@ def test_incremental_window_replay_end_to_end(synth_root, tmp_path):
     assert mesh.vertices.shape[0] > 300
 
 
+def test_batch_driver_deterministic(synth_root, tmp_path):
+    """Same seed + sequential data phase => bit-identical learned maps
+    (reference determinism hooks: utils/tools.py:50-52, seed 42)."""
+    from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
+
+    feats = []
+    for run in range(2):
+        cfg = small_cfg(synth_root, str(tmp_path / f"r{run}"))
+        cfg.iters = 100
+        _, grid, params = run_shine_mapping_batch(cfg=cfg)
+        feats.append([np.asarray(f) for f in params["features"]])
+    for a, b in zip(feats[0], feats[1]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_resume_from_full_checkpoint(synth_root, tmp_path):
     """Second run resumes the saved map + decoders and keeps improving."""
     from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
