@@ -172,7 +172,7 @@ class LiDARDataset:
             if sem_labels is not None:
                 sem_labels = sem_labels[idx]
         else:
-            if sem_labels is not None:
+            if sem_labels is not None and len(pc) > 0:
                 vmin = pc.points.min(axis=0)
                 keys = np.floor((pc.points - vmin) / cfg.vox_down_m).astype(np.int64)
                 packed = (keys[:, 0] << 42) | (keys[:, 1] << 21) | keys[:, 2]
@@ -232,6 +232,7 @@ class LiDARDataset:
                 self.map_down_pc.points.min(axis=0),
                 self.map_down_pc.points.max(axis=0),
             )
+        if len(prep["frame_down"]) > 0:
             self.cur_bbx = (
                 prep["frame_down"].points.min(axis=0),
                 prep["frame_down"].points.max(axis=0),
@@ -285,7 +286,7 @@ class LiDARDataset:
             if sem_labels is not None:
                 sem_labels = sem_labels[idx]
         else:
-            if sem_labels is not None:
+            if sem_labels is not None and len(pc) > 0:
                 # voxel downsample with label-carrying: keep first point per voxel
                 vmin = pc.points.min(axis=0)
                 keys = np.floor((pc.points - vmin) / cfg.vox_down_m).astype(np.int64)
@@ -312,6 +313,7 @@ class LiDARDataset:
                 self.map_down_pc.points.min(axis=0),
                 self.map_down_pc.points.max(axis=0),
             )
+        if len(frame_down) > 0:
             self.cur_bbx = (frame_down.points.min(axis=0), frame_down.points.max(axis=0))
 
         # scale into [-1,1] (dataset/lidar_dataset.py:186-191)
