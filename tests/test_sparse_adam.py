@@ -204,3 +204,30 @@ def test_sparse_continual_reg():
         for a, b in zip(p3["features"], params["features"])
     )
     assert drift < drift_noreg
+
+
+def test_per_level_lr_ratio_scales_updates():
+    """lr_level_reduce_ratio: finest level gets base LR, coarser levels get
+    lr * ratio^i (reference utils/tools.py:68-72)."""
+    pool, surf = make_sphere_pool(1500)
+    cfg = default_cfg(bs=1024)
+    cfg.lr_level_reduce_ratio = 0.1
+    grid, settings, params, opt_state, dev_pool, n_valid = build(
+        cfg, pool, surf, lr_level_reduce_ratio=0.1
+    )
+    assert settings.lr_level_reduce_ratio == 0.1
+    p0 = [np.asarray(f).copy() for f in params["features"]]
+    p1, _, _ = trainer.train_chunk(
+        params, init_opt_state(params), tuple(grid.tables), dev_pool,
+        trainer.empty_shadow(params["features"]), n_valid, jnp.int32(0),
+        jax.random.PRNGKey(0), settings, 1,
+    )
+    # one Adam step with eps~0 moves touched entries by ~lr*scale^i
+    deltas = []
+    for i in range(3):
+        d = np.abs(np.asarray(p1["features"][i]) - p0[i])
+        moved = d[d > 0]
+        deltas.append(np.median(moved))
+    np.testing.assert_allclose(deltas[0], cfg.lr, rtol=0.05)
+    np.testing.assert_allclose(deltas[1], cfg.lr * 0.1, rtol=0.05)
+    np.testing.assert_allclose(deltas[2], cfg.lr * 0.01, rtol=0.05)
