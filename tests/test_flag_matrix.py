@@ -1,0 +1,41 @@
+"""Smoke matrix: train_chunk compiles and stays finite under flag combos."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shine_mapping_tpu.train import trainer
+from shine_mapping_tpu.train.optimizer import init_opt_state
+from tests.test_trainer import make_sphere_pool, default_cfg, build
+
+COMBOS = [
+    dict(time_conditioned=True),
+    dict(loss_weight_on=True),
+    dict(main_loss_type="sdf_l1", ekional_loss_on=True),
+    dict(main_loss_type="sdf_l2", normal_loss_on=False),
+    dict(proj_correction_on=True, normal_loss_on=False),
+    dict(ekional_loss_on=True, proj_correction_on=True),
+    dict(opt_adam=False),  # SGD fallback (dense path)
+    dict(sparse_feature_update=False, consistency_loss_on=True),
+    dict(lr_iters_reduce_ratio=0.5, lr_decay_step=(2,)),
+]
+
+
+@pytest.mark.parametrize("combo", COMBOS, ids=[str(sorted(c)) for c in COMBOS])
+def test_flag_combo_trains_finite(combo):
+    pool, surf = make_sphere_pool(800, seed=13)
+    cfg = default_cfg(bs=512)
+    if combo.get("time_conditioned"):
+        cfg.time_conditioned = True
+    grid, settings, params, opt_state, dev_pool, n_valid = build(
+        cfg, pool, surf, **combo
+    )
+    shadow = trainer.empty_shadow(params["features"])
+    params, opt_state, aux = trainer.train_chunk(
+        params, opt_state, tuple(grid.tables), dev_pool, shadow,
+        n_valid, jnp.int32(0), jax.random.PRNGKey(0), settings, 3,
+    )
+    assert np.isfinite(float(aux["mean"]["total_loss"])), combo
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert np.all(np.isfinite(np.asarray(leaf))), combo
