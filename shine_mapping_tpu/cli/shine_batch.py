@@ -84,10 +84,24 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     dataset.write_merged_pc(pc_map_path)
 
     opt_state = init_opt_state(params)
-    capacity = pool_capacity_for(len(dataset.pool), cfg.init_pool_capacity)
-    dev_pool, n_valid = trainer.pool_to_device(dataset.pool, capacity, settings)
+    pool_rng = np.random.default_rng(cfg.seed + 1)
+    rotate_pool = len(dataset.pool) > cfg.max_device_pool and not cfg.ray_loss
+    if rotate_pool:
+        capacity = cfg.max_device_pool
+        sub = pool_rng.integers(0, len(dataset.pool), capacity)
+        dev_pool, n_valid = trainer.pool_to_device(
+            dataset.pool, capacity, settings, subset=sub
+        )
+        print(
+            f"pool {len(dataset.pool)} > device budget {capacity}: rotating "
+            f"sub-pools every {cfg.pool_rotate_iters} iters"
+        )
+    else:
+        capacity = pool_capacity_for(len(dataset.pool), cfg.init_pool_capacity)
+        dev_pool, n_valid = trainer.pool_to_device(dataset.pool, capacity, settings)
     shadow = trainer.empty_shadow(params["features"])
     key = jax.random.PRNGKey(cfg.seed)
+    iters_since_rotate = 0
 
     # ---------------------------------------------------------------- training
     print("Begin mapping")
@@ -107,6 +121,12 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     for start, n in event_boundaries(
         cfg.iters, (cfg.save_freq_iters, cfg.vis_freq_iters), cfg.scan_chunk
     ):
+        if rotate_pool and iters_since_rotate >= cfg.pool_rotate_iters:
+            sub = pool_rng.integers(0, len(dataset.pool), capacity)
+            dev_pool, n_valid = trainer.pool_to_device(
+                dataset.pool, capacity, settings, subset=sub
+            )
+            iters_since_rotate = 0
         key, k = jax.random.split(key)
         t0 = get_time()
         params, opt_state, aux = trainer.train_chunk(
@@ -114,6 +134,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             n_valid, jnp.int32(start), k, settings, n,
             batch_sharding=batch_sharding,
         )
+        iters_since_rotate += n
         t1 = get_time(aux["mean"]["total_loss"])
         done_iters = start + n
         rec = {("loss/" + k2): float(v) for k2, v in aux["mean"].items()}

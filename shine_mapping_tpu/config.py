@@ -190,6 +190,12 @@ class SHINEConfig:
     mesh_shape: int = 1
     # pool capacity in samples (static shape; doubled on overflow)
     init_pool_capacity: int = 1 << 20
+    # device-pool budget: when the host pool exceeds this many samples, a
+    # random sub-pool of this size is uploaded and rotated every
+    # pool_rotate_iters iterations (city-scale datasets larger than HBM;
+    # the reference's CPU-pool staging analogue, dataset/lidar_dataset.py:93-101)
+    max_device_pool: int = 1 << 25
+    pool_rotate_iters: int = 2000
 
     # ------------------------------------------------------------------ loading
     def load(self, config_file: str) -> "SHINEConfig":

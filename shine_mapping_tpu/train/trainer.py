@@ -578,14 +578,19 @@ def train_chunk(
     return params, opt_state, {"mean": aux_mean, "last": aux_last}
 
 
-def pool_to_device(pool, capacity: int, settings: TrainSettings):
+def pool_to_device(pool, capacity: int, settings: TrainSettings, subset=None):
     """Pad the host pool to static ``capacity`` and upload.
 
     Returns (device pool dict, n_valid scalar).  Ray pools keep the
     ray-major layout; ray_depth is per-ray (n/ray_sample_count entries).
+
+    ``subset``: optional host index array — upload only those samples (the
+    rotating sub-pool path for datasets larger than the device budget).
     """
     import numpy as np
 
+    if subset is not None:
+        pool = _subset_pool(pool, subset)
     n = len(pool)
 
     def pad(a, cap):
@@ -612,6 +617,20 @@ def pool_to_device(pool, capacity: int, settings: TrainSettings):
     if settings.semantic_on and pool.sem_label is not None:
         dev["sem_label"] = pad(pool.sem_label, capacity)
     return dev, jnp.int32(n)
+
+
+def _subset_pool(pool, idx):
+    """Select a host-side sample subset (keeps ray-major blocks intact when
+    ``idx`` is ray-aligned; point mode needs no alignment)."""
+    import copy as _copy
+
+    sub = _copy.copy(pool)
+    for f in ("coord", "sdf_label", "normal_label", "sem_label", "weight",
+              "sample_depth", "origin", "time"):
+        a = getattr(pool, f)
+        if a is not None and a.shape[0] == len(pool):
+            setattr(sub, f, a[idx])
+    return sub
 
 
 def empty_shadow(features) -> Dict[str, Any]:
