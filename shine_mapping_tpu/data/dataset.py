@@ -422,6 +422,13 @@ class LiDARDataset:
         out = self.map_down_pc.transform(inv(self.begin_pose_inv))
         io.write_ply(out_path, out)
 
+    def __len__(self) -> int:
+        """Pool size: ray count in ray mode, else point-sample count
+        (dataset/lidar_dataset.py:370-374)."""
+        if self.config.ray_loss:
+            return self.pool.ray_depth.shape[0]
+        return len(self.pool)
+
     def get_batch_np(self, bs: int):
         """Host-side random batch (debug / small runs); the hot path samples
         on-device inside the jitted scan (train/trainer.py)."""
