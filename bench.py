@@ -33,6 +33,14 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeated bench runs skip the (minutes-long)
+    # remote compiles of the train executables
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/shine_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from shine_mapping_tpu.config import SHINEConfig
     from shine_mapping_tpu.data.dataset import SamplePool
     from shine_mapping_tpu.ops.hashgrid import HashGridHost

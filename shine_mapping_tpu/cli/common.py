@@ -18,6 +18,14 @@ if os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
+# persistent compile cache: per-frame/per-capacity executables are reused
+# across runs instead of recompiling (remote TPU compiles take 10-60 s each)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/shine_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 
 from ..config import SHINEConfig
