@@ -2,9 +2,11 @@
 
 Parity target: reference ``MapVisualizer`` (utils/visualizer.py:28-201): a
 non-blocking window showing the current scan, sensor pose frame and latest
-mesh, with pause/feature toggles.  Open3D is not part of the TPU image, so
-the visualizer degrades to a headless no-op (same API) when it is missing —
-all drivers run with ``o3d_vis_on: False`` by default on TPU hosts.
+mesh, with key callbacks — space pauses/resumes, V toggles the mesh, F the
+pose frame, M the scan map (utils/visualizer.py:107-118).  Open3D is not
+part of the TPU image, so the visualizer degrades to a headless no-op (same
+API) when it is missing — all drivers run with ``o3d_vis_on: False`` by
+default on TPU hosts.
 """
 
 from __future__ import annotations
@@ -38,39 +40,59 @@ class MapVisualizer:
 
     def __init__(self) -> None:
         self.paused = False
+        self.show_mesh = True
+        self.show_frame = True
+        self.show_scan = True
         self._vis = None
         if not _HAS_O3D:
             print("open3d not available: visualizer runs headless (no-op)")
             return
+        # pragma: no cover — requires a display
         self._vis = o3d.visualization.VisualizerWithKeyCallback()
         self._vis.create_window(window_name="shine_mapping_tpu")
-        self._vis.register_key_callback(ord(" "), self._toggle_pause)
+        self._vis.register_key_callback(ord(" "), self._toggle("paused"))
+        self._vis.register_key_callback(ord("V"), self._toggle("show_mesh"))
+        self._vis.register_key_callback(ord("F"), self._toggle("show_frame"))
+        self._vis.register_key_callback(ord("M"), self._toggle("show_scan"))
         self._scan = o3d.geometry.PointCloud()
         self._mesh = o3d.geometry.TriangleMesh()
         self._frame = o3d.geometry.TriangleMesh.create_coordinate_frame(size=1.0)
         self._first = True
 
-    def _toggle_pause(self, _vis) -> bool:  # pragma: no cover
-        self.paused = not self.paused
-        return False
+    def _toggle(self, attr: str):  # pragma: no cover
+        def cb(_vis):
+            setattr(self, attr, not getattr(self, attr))
+            return False
+
+        return cb
 
     def update(self, scan_pc=None, pose: Optional[np.ndarray] = None, mesh=None) -> None:
         if self._vis is None:
             return
         # pragma: no cover — requires a display
-        if scan_pc is not None:
+        if self.paused:
+            self._vis.poll_events()
+            return
+        if scan_pc is not None and self.show_scan:
             self._scan.points = o3d.utility.Vector3dVector(scan_pc.points)
-        if mesh is not None:
+        if pose is not None and self.show_frame:
+            self._frame = o3d.geometry.TriangleMesh.create_coordinate_frame(size=1.0)
+            self._frame.transform(pose)
+        if mesh is not None and self.show_mesh:
             self._mesh.vertices = o3d.utility.Vector3dVector(mesh.vertices)
             self._mesh.triangles = o3d.utility.Vector3iVector(mesh.triangles)
+            if mesh.vertex_colors is not None:
+                self._mesh.vertex_colors = o3d.utility.Vector3dVector(mesh.vertex_colors)
             self._mesh.compute_vertex_normals()
         if self._first:
             self._vis.add_geometry(self._scan)
             self._vis.add_geometry(self._mesh)
+            self._vis.add_geometry(self._frame)
             self._first = False
         else:
             self._vis.update_geometry(self._scan)
             self._vis.update_geometry(self._mesh)
+            self._vis.update_geometry(self._frame)
         self._vis.poll_events()
         self._vis.update_renderer()
 
