@@ -107,9 +107,9 @@ def main() -> None:
     # Adam) optimizer paths are measured; the better one is reported.
     n_iters = 300
 
-    def run_variant(sparse: bool) -> float:
+    def run_variant(mode: str) -> float:
         settings = trainer.TrainSettings.from_config(
-            cfg, grid.levels, sparse_feature_update=sparse
+            cfg, grid.levels, feature_update=mode
         )
         params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
         # train_chunk donates params; keep grid.features intact for the
@@ -132,16 +132,18 @@ def main() -> None:
             assert np.isfinite(loss)
             times.append(t1 - t0)
             print(
-                f"[bench] {'sparse' if sparse else 'dense'} rep {rep}: "
+                f"[bench] {mode} rep {rep}: "
                 f"{(t1 - t0) / n_iters * 1e3:.2f} ms/iter loss {loss:.4f}",
                 file=sys.stderr, flush=True,
             )
         # best post-warmup chunk: robust against tunnel-latency spikes
         return float(np.min(times[1:]))
 
-    t_sparse = run_variant(True)
-    t_dense = run_variant(False)
-    chunk_t = min(t_sparse, t_dense)
+    # fused (explicit-scatter dense Adam) vs sparse (lazy Adam): the better
+    # wins — fused on-chip at this map size, sparse for giant maps
+    t_fused = run_variant("fused")
+    t_sparse = run_variant("sparse")
+    chunk_t = min(t_fused, t_sparse)
 
     pts_per_s = n_iters * cfg.bs / chunk_t
     print(

@@ -1,0 +1,245 @@
+"""Ablate the real train iteration to find where the 36 ms/iter goes.
+
+Variants (all inside lax.scan like the real trainer):
+  sample      : batch sampling only
+  lookup      : + hash lookups (3 levels)
+  gather      : + corner row gathers
+  fwd         : + interp + MLP + BCE loss (no grad)
+  grad        : + value_and_grad w.r.t. (dense, G)
+  declr       : + decoder adam
+  featupd     : + explicit scatter + feature dense adam  (= full fused body)
+  featonly    : scatter+adam alone on precomputed constant grads
+
+  timeout 1800 python experiments/exp_iter_ablation.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/shine_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from shine_mapping_tpu.config import SHINEConfig
+from shine_mapping_tpu.data.dataset import SamplePool
+from shine_mapping_tpu.ops.hashgrid import HashGridHost, lookup_level
+from shine_mapping_tpu.train import trainer, losses
+from shine_mapping_tpu.train.optimizer import init_opt_state
+from shine_mapping_tpu.models import decoder
+from shine_mapping_tpu.ops.interp import corner_weights
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed(fn, carry_init, env, n_iters=100, reps=3, label=""):
+    """fn(carry, env) -> carry; env holds the big read-only arrays (passed
+    as jit args so the remote compiler doesn't inline them as literals)."""
+
+    @jax.jit
+    def chunk(carry, env):
+        def body(c, _):
+            return fn(c, env), 0.0
+        c, _ = jax.lax.scan(body, carry, None, length=n_iters)
+        return c
+
+    carry = carry_init
+    times = []
+    for rep in range(reps + 1):
+        t0 = time.perf_counter()
+        carry = chunk(carry, env)
+        _ = float(jax.tree_util.tree_leaves(carry)[0].reshape(-1)[0])
+        t1 = time.perf_counter()
+        if rep > 0:
+            times.append((t1 - t0) / n_iters)
+    t = float(np.min(times))
+    log(f"{label:10s}: {t*1e3:7.3f} ms/iter")
+    return t
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    cfg = SHINEConfig()
+    cfg.tree_level_world = 12
+    cfg.tree_level_feat = 3
+    cfg.leaf_vox_size = 0.2
+    cfg.bs = 8192
+    cfg.lr = 0.01
+    cfg.derive()
+    log(f"eikonal={cfg.ekional_loss_on} loss={cfg.main_loss_type} "
+        f"weight_on={cfg.loss_weight_on}")
+
+    rng = np.random.default_rng(0)
+    n_surf = 400_000
+    xy = rng.uniform(-0.9, 0.9, (n_surf, 2))
+    z = 0.08 * np.sin(4 * xy[:, 0]) * np.cos(3 * xy[:, 1])
+    surf = np.stack([xy[:, 0], xy[:, 1], z], axis=1)
+    band = surf + rng.normal(0, 0.003, surf.shape)
+
+    grid = HashGridHost(
+        max_level=cfg.tree_level_world, featured_level_num=cfg.tree_level_feat,
+        feature_dim=cfg.feature_dim, feature_std=cfg.feature_std, seed=0,
+        init_node_capacity=1 << 19, init_corner_capacity=1 << 19,
+    )
+    grid.update(band)
+    log(f"levels={grid.levels} corner_caps="
+        f"{[f.shape[0] for f in grid.features]}")
+
+    n_pool = 2_000_000
+    coord = np.repeat(band, 5, axis=0)[:n_pool].astype(np.float32)
+    coord += rng.normal(0, 0.01, coord.shape).astype(np.float32)
+    sdf = rng.normal(0, 0.01, n_pool).astype(np.float32)
+    weight = np.where(rng.random(n_pool) < 0.7, 1.0, -1.0).astype(np.float32)
+    pool = SamplePool(
+        coord=coord, sdf_label=sdf, weight=weight,
+        sample_depth=np.zeros(n_pool, np.float32),
+        ray_depth=np.zeros(n_pool // 7 + 1, np.float32),
+        origin=np.zeros((n_pool, 3), np.float32),
+        time=np.zeros(n_pool, np.float32),
+    )
+    s = trainer.TrainSettings.from_config(cfg, grid.levels)
+    dev_pool, n_valid = trainer.pool_to_device(pool, 1 << 21, s)
+    tables = tuple(grid.tables)
+    params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
+    opt_state = init_opt_state(params)
+    levels = s.levels
+
+    feats0 = params["features"]
+    geo0 = params["geo"]
+
+    kk = jax.random.PRNGKey(9)
+    corners_c = []
+    gG_c = []
+    idx0 = jax.random.randint(kk, (s.bs,), 0, n_valid)
+    coord0 = dev_pool["coord"][idx0]
+    for i, lvl in enumerate(levels):
+        c_i, _ = lookup_level(tables[i], coord0, lvl)
+        corners_c.append(c_i)
+        gG_c.append(jnp.array(rng.normal(size=(s.bs, 8, 8)).astype(np.float32)))
+
+    env = dict(
+        tables=tables, pool=dev_pool, feats=tuple(feats0), geo=geo0,
+        corners_c=tuple(corners_c), gG_c=tuple(gG_c),
+    )
+
+    def sample(k_idx, env):
+        idx = jax.random.randint(k_idx, (s.bs,), 0, n_valid)
+        return {
+            "coord": env["pool"]["coord"][idx],
+            "sdf_label": env["pool"]["sdf_label"][idx],
+            "weight": env["pool"]["weight"][idx],
+        }
+
+    def v_sample(carry, env):
+        key, acc = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        return key, acc + jnp.sum(b["coord"][0])
+
+    timed(v_sample, (jax.random.PRNGKey(0), jnp.float32(0)), env, label="sample")
+
+    def v_lookup(carry, env):
+        key, acc = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        tot = jnp.int32(0)
+        for i, lvl in enumerate(levels):
+            c_i, f_i = lookup_level(env["tables"][i], b["coord"], lvl)
+            tot = tot + c_i[0, 0]
+        return key, acc + tot.astype(jnp.float32)
+
+    timed(v_lookup, (jax.random.PRNGKey(0), jnp.float32(0)), env, label="lookup")
+
+    def v_gather(carry, env):
+        key, acc = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        tot = jnp.float32(0)
+        for i, lvl in enumerate(levels):
+            c_i, f_i = lookup_level(env["tables"][i], b["coord"], lvl)
+            G = env["feats"][i][c_i]
+            tot = tot + G[0, 0, 0]
+        return key, acc + tot
+
+    timed(v_gather, (jax.random.PRNGKey(0), jnp.float32(0)), env, label="gather")
+
+    def fwd_loss(G_list, b, found, env):
+        f = None
+        for i, lvl in enumerate(levels):
+            w = corner_weights(b["coord"], lvl, s.poly_int_on)
+            w = jnp.where(found[i][:, None], w, 0.0)
+            c = jnp.einsum("nc,ncd->nd", w, G_list[i])
+            f = c if f is None else f + c
+        pred = decoder.sdf(env["geo"], f)
+        return losses.sdf_bce_loss(pred, b["sdf_label"], s.sigma_sigmoid,
+                                   jnp.abs(b["weight"]), s.loss_weight_on,
+                                   s.loss_reduction)
+
+    def v_fwd(carry, env):
+        key, acc = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        found, G = [], []
+        for i, lvl in enumerate(levels):
+            c_i, f_i = lookup_level(env["tables"][i], b["coord"], lvl)
+            found.append(f_i); G.append(env["feats"][i][c_i])
+        return key, acc + fwd_loss(G, b, found, env)
+
+    timed(v_fwd, (jax.random.PRNGKey(0), jnp.float32(0)), env, label="fwd")
+
+    def v_grad(carry, env):
+        key, acc = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        found, G = [], []
+        for i, lvl in enumerate(levels):
+            c_i, f_i = lookup_level(env["tables"][i], b["coord"], lvl)
+            found.append(f_i); G.append(env["feats"][i][c_i])
+        loss, g_G = jax.value_and_grad(fwd_loss)(G, b, found, env)
+        return key, acc + loss + g_G[0][0, 0, 0]
+
+    timed(v_grad, (jax.random.PRNGKey(0), jnp.float32(0)), env, label="grad")
+
+    def v_featonly(carry, env):
+        feats, m, v = carry
+        new_f, new_m, new_v = [], [], []
+        for i in range(3):
+            gd = jnp.zeros_like(feats[i]).at[env["corners_c"][i]].add(env["gG_c"][i])
+            m_n = 0.9 * m[i] + 0.1 * gd
+            v_n = 0.99 * v[i] + 0.01 * gd * gd
+            f_n = feats[i] - 0.01 * (m_n / 0.5) / (jnp.sqrt(v_n / 0.5) + 1e-15)
+            new_f.append(f_n); new_m.append(m_n); new_v.append(v_n)
+        return tuple(new_f), tuple(new_m), tuple(new_v)
+
+    zeros = tuple(jnp.zeros_like(f) for f in feats0)
+    timed(v_featonly, (tuple(feats0), zeros, zeros), env, label="featonly")
+
+    def v_featfresh(carry, env):
+        key, feats, m, v = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        new_f, new_m, new_v = [], [], []
+        for i, lvl in enumerate(levels):
+            c_i, _ = lookup_level(env["tables"][i], b["coord"], lvl)
+            gd = jnp.zeros_like(feats[i]).at[c_i].add(env["gG_c"][i])
+            m_n = 0.9 * m[i] + 0.1 * gd
+            v_n = 0.99 * v[i] + 0.01 * gd * gd
+            f_n = feats[i] - 0.01 * (m_n / 0.5) / (jnp.sqrt(v_n / 0.5) + 1e-15)
+            new_f.append(f_n); new_m.append(m_n); new_v.append(v_n)
+        return key, tuple(new_f), tuple(new_m), tuple(new_v)
+
+    timed(v_featfresh, (jax.random.PRNGKey(0), tuple(feats0), zeros, zeros),
+          env, label="featfresh")
+
+
+if __name__ == "__main__":
+    main()

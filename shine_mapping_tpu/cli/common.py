@@ -54,10 +54,14 @@ def maybe_load_model(cfg: SHINEConfig, grid: HashGridHost):
     checkpoint restores the whole map structure (which then keeps growing
     from new frames); otherwise only the decoders load.
 
-    Returns (grid, decoder_params_or_None, freeze_decoder).
+    Returns (grid, decoder_params_or_None, freeze_decoder, opt_state_or_None,
+    start_iter).  A full checkpoint restores the optimizer moments and the
+    iteration counter so a resumed run continues the Adam trajectory and LR
+    schedule instead of restarting them (the reference discards both,
+    shine_batch.py:45-55 — fixed here, not reproduced).
     """
     if not (cfg.load_model and cfg.model_path and os.path.exists(cfg.model_path)):
-        return grid, None, False
+        return grid, None, False, None, 0
     if cfg.model_path.endswith(".npz"):
         d = np.load(cfg.model_path, allow_pickle=False)
         if any(k.startswith("grid_") for k in d.files):
@@ -65,21 +69,45 @@ def maybe_load_model(cfg: SHINEConfig, grid: HashGridHost):
             import jax as _jax
 
             from ..train import trainer as _trainer
+            from ..train.optimizer import init_opt_state
 
             skeleton = _trainer.init_params(cfg, grid, _jax.random.PRNGKey(0))
-            grid2, params2, _, iters = ckpt.load_checkpoint(cfg.model_path, skeleton)
+            grid2, params2, opt_state, iters = ckpt.load_checkpoint(
+                cfg.model_path, skeleton, init_opt_state(skeleton)
+            )
             grid2.print_detail()
             print(f"Full checkpoint loaded (iter {iters})")
             dec = {k: params2[k] for k in ("geo", "sem") if k in params2}
-            return grid2, dec, True
+            return grid2, dec, True, opt_state, iters
         dec = ckpt.load_decoders(cfg.model_path, {})
         print("Pretrained decoder loaded")
-        return grid, dec, True
+        return grid, dec, True, None, 0
     if cfg.model_path.endswith(".pth"):
         dec = ckpt.load_decoders(cfg.model_path, {})
         print("Pretrained decoder loaded")
-        return grid, dec, True
-    return grid, None, False
+        return grid, dec, True, None, 0
+    return grid, None, False, None, 0
+
+
+def pad_opt_state_features(opt_state, params):
+    """Grow the restored optimizer's feature-moment tables to the current
+    (possibly doubled) capacities; new rows start at zero like fresh Adam."""
+    from ..train.optimizer import OptState
+
+    def pad_like(o, p):
+        if o.shape == p.shape:
+            return o
+        return jnp.zeros_like(p).at[: o.shape[0]].set(o)
+
+    m = dict(opt_state.m)
+    v = dict(opt_state.v)
+    m["features"] = tuple(
+        pad_like(o, p) for o, p in zip(m["features"], params["features"])
+    )
+    v["features"] = tuple(
+        pad_like(o, p) for o, p in zip(v["features"], params["features"])
+    )
+    return OptState(m=m, v=v, step=opt_state.step)
 
 
 def pool_capacity_for(n: int, minimum: int) -> int:

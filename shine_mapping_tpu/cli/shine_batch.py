@@ -52,8 +52,9 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     grid = build_grid(cfg)
     # load pretrained decoders / resume a full map checkpoint BEFORE the
     # data phase so new frames grow the restored structure
-    # (shine_batch.py:45-58 ordering)
-    grid, loaded_decoders, freeze = maybe_load_model(cfg, grid)
+    # (shine_batch.py:45-58 ordering); a full checkpoint also restores the
+    # optimizer moments + iteration so the LR schedule continues
+    grid, loaded_decoders, freeze, loaded_opt, start_iter = maybe_load_model(cfg, grid)
     dataset = LiDARDataset(cfg, grid)
 
     vis = MapVisualizer() if cfg.o3d_vis_on else None
@@ -73,8 +74,11 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     params = trainer.init_params(cfg, grid, jax.random.PRNGKey(cfg.seed))
     if loaded_decoders:
         params.update(loaded_decoders)
+    # resume-from-checkpoint: decoders frozen only when explicitly loading a
+    # pretrained decoder; a full-checkpoint resume keeps training them
+    resume = loaded_opt is not None
     settings = trainer.TrainSettings.from_config(
-        cfg, grid.levels, freeze_decoder=freeze
+        cfg, grid.levels, freeze_decoder=freeze and not resume
     )
 
     mesher = Mesher(cfg, grid, params["geo"], params.get("sem"))
@@ -83,7 +87,13 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     pc_map_path = run_path + "/map/pc_map_down.ply"
     dataset.write_merged_pc(pc_map_path)
 
-    opt_state = init_opt_state(params)
+    if resume:
+        from .common import pad_opt_state_features
+
+        opt_state = pad_opt_state_features(loaded_opt, params)
+        print(f"Resuming from iter {start_iter} (optimizer state restored)")
+    else:
+        opt_state = init_opt_state(params)
     pool_rng = np.random.default_rng(cfg.seed + 1)
     rotate_pool = len(dataset.pool) > cfg.max_device_pool and not cfg.ray_loss
     if rotate_pool:
@@ -117,17 +127,24 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         batch_sharding = pmesh.batch_sharded(dp_mesh)
         print(f"data-parallel over {cfg.mesh_shape} devices")
     t_train0 = time.time()
-    done_iters = 0
+    done_iters = start_iter
     for start, n in event_boundaries(
         cfg.iters, (cfg.save_freq_iters, cfg.vis_freq_iters), cfg.scan_chunk
     ):
+        if start + n <= start_iter:
+            continue  # already completed before the resume point
+        if start < start_iter:  # straddling chunk: run only the remainder
+            n -= start_iter - start
+            start = start_iter
         if rotate_pool and iters_since_rotate >= cfg.pool_rotate_iters:
             sub = pool_rng.integers(0, len(dataset.pool), capacity)
             dev_pool, n_valid = trainer.pool_to_device(
                 dataset.pool, capacity, settings, subset=sub
             )
             iters_since_rotate = 0
-        key, k = jax.random.split(key)
+        # chunk key depends only on the chunk's start iteration, so a
+        # resumed run draws the same batches an uninterrupted run would
+        k = jax.random.fold_in(key, start)
         t0 = get_time()
         params, opt_state, aux = trainer.train_chunk(
             params, opt_state, tables, dev_pool, shadow,

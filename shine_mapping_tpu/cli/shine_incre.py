@@ -52,7 +52,9 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
     logger = MetricsLogger(run_path, cfg.wandb_vis_on, run_name=cfg.name)
 
     grid = build_grid(cfg)
-    grid, loaded_decoders, loaded_freeze = maybe_load_model(cfg, grid)
+    # incremental mode rebuilds the optimizer per frame (shine_incre.py:
+    # 108-109), so only the map/decoders restore — opt state is ignored
+    grid, loaded_decoders, loaded_freeze, _, _ = maybe_load_model(cfg, grid)
     dataset = LiDARDataset(cfg, grid)
     vis = MapVisualizer() if cfg.o3d_vis_on else None
 

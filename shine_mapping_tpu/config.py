@@ -188,6 +188,11 @@ class SHINEConfig:
     init_corner_capacity: int = 1 << 16
     # data-parallel mesh axis size (1 = single chip); batch dim sharded over it
     mesh_shape: int = 1
+    # feature-table optimizer formulation: "fused" (explicit scatter fused
+    # into the dense Adam sweep; reference-exact semantics, fastest on-chip),
+    # "sparse" (lazy touched-rows Adam; map-size-independent, compact
+    # multi-chip gradients), or "dense" (plain autodiff; debugging fallback)
+    feature_update: str = "fused"
     # pool capacity in samples (static shape; doubled on overflow)
     init_pool_capacity: int = 1 << 20
     # device-pool budget: when the host pool exceeds this many samples, a
@@ -297,6 +302,7 @@ class SHINEConfig:
         # TPU-native extras (optional "tpu" section)
         self.scan_chunk = opt("tpu", "scan_chunk", self.scan_chunk)
         self.mesh_shape = opt("tpu", "mesh_shape", self.mesh_shape)
+        self.feature_update = opt("tpu", "feature_update", self.feature_update)
         self.init_node_capacity = opt("tpu", "init_node_capacity", self.init_node_capacity)
         self.init_corner_capacity = opt("tpu", "init_corner_capacity", self.init_corner_capacity)
         self.init_pool_capacity = opt("tpu", "init_pool_capacity", self.init_pool_capacity)

@@ -74,7 +74,11 @@ class LiDARDataset:
 
         self.sampler_params = SamplerParams.from_config(config)
         self.rng = np.random.default_rng(config.seed)
-        self.ray_sample_count = config.surface_sample_n + config.free_sample_n
+        # samples per ray in the ray-major pool layout (surface + clearance
+        # + free; trainer.py TrainSettings.ray_sample_count must agree)
+        self.ray_sample_count = (
+            config.surface_sample_n + config.clearance_sample_n + config.free_sample_n
+        )
 
         # first-frame re-referencing (dataset/lidar_dataset.py:68-91)
         self.poses_ref = [np.array(p) for p in self.poses_w]
@@ -367,19 +371,34 @@ class LiDARDataset:
             )
             return coord.shape[0]
 
-        # sliding-window replay filter (dataset/lidar_dataset.py:236-258)
+        # sliding-window replay filter (dataset/lidar_dataset.py:236-258).
+        # In ray mode the pool is ray-major and the depth arrays must stay
+        # aligned, so whole rays are kept/dropped together (a ray survives if
+        # its first — on-surface — sample lies inside the window).  The
+        # reference filters per point and leaves its depth arrays desynced
+        # (its own "FIX ME", dataset/lidar_dataset.py:247-250); this fixes
+        # that rather than reproducing it.
         if cfg.window_replay_on and len(self.pool) > 0:
             rel = np.linalg.norm(self.pool.coord - frame_origin[None, :].astype(np.float32), axis=-1)
             keep = rel < cfg.window_radius * cfg.scale
             p = self.pool
+            if cfg.ray_loss:
+                rsc = self.ray_sample_count
+                keep_ray = keep.reshape(-1, rsc)[:, 0]
+                keep = np.repeat(keep_ray, rsc)
+                new_sample_depth = p.sample_depth[keep]
+                new_ray_depth = p.ray_depth[keep_ray]
+            else:
+                new_sample_depth = p.sample_depth[keep]
+                new_ray_depth = p.ray_depth  # unused in point mode
             self.pool = SamplePool(
                 coord=p.coord[keep],
                 sdf_label=p.sdf_label[keep],
                 normal_label=None if p.normal_label is None else p.normal_label[keep],
                 sem_label=None if p.sem_label is None else p.sem_label[keep],
                 weight=p.weight[keep],
-                sample_depth=p.sample_depth,
-                ray_depth=p.ray_depth,
+                sample_depth=new_sample_depth,
+                ray_depth=new_ray_depth,
                 origin=p.origin[keep],
                 time=p.time[keep],
             )

@@ -166,15 +166,33 @@ def read_ply(path: str):
                     }
             else:  # binary_little_endian
                 if has_list:
-                    # parse (count, idx...) records; assume uchar + int, tri faces
+                    # (count, idx...) records; fast path assumes the usual
+                    # all-triangle layout and reads the whole element as one
+                    # fixed-stride structured array (million-face meshes in
+                    # milliseconds); mixed list lengths fall back to an
+                    # in-memory offset walk
                     ldt, lidx = props[0][0].split(":")[1:]
                     cdt = np.dtype(_PLY_DTYPES[ldt])
                     idt = np.dtype(_PLY_DTYPES[lidx])
-                    faces = np.empty((count, 3), dtype=np.int64)
-                    for i in range(count):
-                        n = int(np.frombuffer(f.read(cdt.itemsize), cdt)[0])
-                        vals = np.frombuffer(f.read(idt.itemsize * n), idt)
-                        faces[i] = vals[:3]
+                    rec = np.dtype([("n", cdt), ("v", idt, (3,))])
+                    start = f.tell()
+                    blob = f.read(rec.itemsize * count)
+                    n_read = len(blob) // rec.itemsize
+                    raw = np.frombuffer(blob, rec, count=n_read)
+                    if n_read == count and np.all(raw["n"] == 3):
+                        faces = raw["v"].astype(np.int64)
+                    else:
+                        f.seek(start)
+                        blob = blob + f.read()
+                        faces = np.empty((count, 3), dtype=np.int64)
+                        off = 0
+                        for i in range(count):
+                            n = int(np.frombuffer(blob, cdt, 1, off)[0])
+                            off += cdt.itemsize
+                            vals = np.frombuffer(blob, idt, n, off)
+                            off += idt.itemsize * n
+                            faces[i] = vals[:3]
+                        f.seek(start + off)
                     data[name] = {"vertex_indices": faces}
                 else:
                     dt = np.dtype([(p[1], _PLY_DTYPES[p[0]]) for p in props])

@@ -88,8 +88,8 @@ def statistical_outlier_removal(
 
     if len(pc) <= nb_neighbors:
         return pc
-    tree = cKDTree(pc.points)
-    d, _ = tree.query(pc.points, k=nb_neighbors + 1)
+    tree = cKDTree(pc.points, balanced_tree=False)
+    d, _ = tree.query(pc.points, k=nb_neighbors + 1, workers=-1)
     mean_d = d[:, 1:].mean(axis=1)
     thresh = mean_d.mean() + std_ratio * mean_d.std()
     return pc.select(mean_d <= thresh)
@@ -108,18 +108,33 @@ def estimate_normals(
 
     p = pc.points
     n = len(pc)
-    tree = cKDTree(p)
-    d, idx = tree.query(p, k=min(max_nn, n), distance_upper_bound=radius)
-    normals = np.zeros((n, 3))
-    for i in range(n):
-        nbr = idx[i][np.isfinite(d[i])]
-        if nbr.size < 3:
-            normals[i] = [0.0, 0.0, 1.0]
-            continue
-        q = p[nbr] - p[nbr].mean(axis=0)
-        cov = q.T @ q
-        w, v = np.linalg.eigh(cov)
-        normals[i] = v[:, 0]
+    tree = cKDTree(p, balanced_tree=False)
+    d, idx = tree.query(
+        p, k=min(max_nn, n), distance_upper_bound=radius, workers=-1
+    )
+    if d.ndim == 1:  # k == 1 edge case
+        d, idx = d[:, None], idx[:, None]
+    # batched PCA: masked neighbor gather -> per-point 3x3 covariance ->
+    # batched eigh (LAPACK loop in C); smallest-eigenvalue eigenvector
+    valid = np.isfinite(d)
+    counts = valid.sum(axis=1)
+    safe_idx = np.where(valid, idx, 0)
+    p32 = np.ascontiguousarray(p, dtype=np.float32)
+    q = p32[safe_idx]  # (n, k, 3); masked/centred in place below
+    w = valid[..., None].astype(np.float32)
+    mean = np.einsum("nkc,nkc->nc", q, np.broadcast_to(w, q.shape))
+    mean /= np.maximum(counts, 1)[:, None]
+    q -= mean[:, None, :]
+    q *= w
+    cov = np.empty((n, 3, 3), np.float32)
+    for a in range(3):
+        for b in range(a, 3):
+            cov[:, a, b] = cov[:, b, a] = np.einsum("nk,nk->n", q[:, :, a], q[:, :, b])
+    ok = counts >= 3
+    cov[~ok] = np.eye(3, dtype=np.float32)  # placeholder, overwritten below
+    _, vecs = np.linalg.eigh(cov)
+    normals = vecs[:, :, 0].astype(p.dtype)
+    normals[~ok] = [0.0, 0.0, 1.0]
     if orient_towards is not None:
         to_sensor = orient_towards[None, :] - p
         flip = np.sum(normals * to_sensor, axis=1) < 0

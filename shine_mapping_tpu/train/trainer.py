@@ -83,12 +83,20 @@ class TrainSettings:
     lr_decay_step: Tuple[int, ...] = (10000, 50000, 100000)
     # decoder freezing (incremental mode, shine_incre.py:93-97)
     freeze_decoder: bool = False
-    # lazy (touched-rows-only) Adam for the feature tables — mathematically
-    # identical gradients, avoids the full-table optimizer sweep that
-    # dominates on bandwidth-bound chips once maps reach millions of
-    # corners.  Dense fallback (reference-exact optimizer semantics) is used
-    # automatically when the consistency loss needs off-batch lookups.
-    sparse_feature_update: bool = True
+    # feature-table update strategy:
+    #   "fused"  (default): gradients w.r.t. the *gathered* corner rows via
+    #            autodiff, then one explicit scatter-add feeding the dense
+    #            Adam sweep.  XLA fuses the scatter into the sweep, so the
+    #            whole feature update runs at the HBM bandwidth floor
+    #            (~2.1 ms/level at 4.2M corners on v5e vs 9.4 ms/level for
+    #            the autodiff-scatter + separate-sweep formulation —
+    #            experiments/exp_fusion_shapes.py).  Reference-exact dense
+    #            Adam semantics (untouched rows keep their momentum decay).
+    #   "sparse": lazy Adam on touched rows only — map-size-independent;
+    #            the multi-chip / giant-map path (compact gradients).
+    #   "dense": plain autodiff + dense Adam (reference formulation; slow —
+    #            autodiff's scatter does not fuse).  Fallback for SGD.
+    feature_update: str = "fused"
 
     @classmethod
     def from_config(cls, cfg, levels: Tuple[int, ...], **overrides) -> "TrainSettings":
@@ -125,6 +133,7 @@ class TrainSettings:
             lr_level_reduce_ratio=cfg.lr_level_reduce_ratio,
             lr_iters_reduce_ratio=cfg.lr_iters_reduce_ratio,
             lr_decay_step=tuple(cfg.lr_decay_step),
+            feature_update=getattr(cfg, "feature_update", "fused"),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -290,41 +299,53 @@ def _compute_loss(params, tables, batch, shadow, key, s: TrainSettings):
     return total, aux
 
 
-def _compute_loss_sparse(dense_params, G_list, batch, corners, found, key, s: TrainSettings):
+def _feat_from_rows(c, G_l, found_l, s: TrainSettings):
+    """Interpolated hierarchical feature from pre-gathered corner rows."""
+    f = None
+    for i, level in enumerate(s.levels):
+        w = corner_weights(c, level, s.poly_int_on)
+        w = jnp.where(found_l[i][:, None], w, 0.0)
+        contrib = jnp.einsum("nc,ncd->nd", w.astype(G_l[i].dtype), G_l[i])
+        f = contrib if f is None else f + contrib
+    return f
+
+
+def _compute_loss_sparse(dense_params, G_list, G_near, batch, fac, key, s: TrainSettings):
     """Loss with the feature tables factored out as gathered rows ``G_list``.
 
     ``G_list[i]`` is (B, 8, D) — the batch's corner feature rows per level.
     The field value/gradient is linear in G given the (fixed) structure, so
     d loss/d features = scatter-add of d loss/d G over the corner rows; the
-    sparse optimizer applies that without materializing dense grad tables.
+    sparse/fused optimizers apply that without autodiff-materialized dense
+    grad tables.
+
+    ``fac`` carries the fixed structure: corners/found for the batch, and —
+    when the consistency loss is on — the jittered near points' coords,
+    source indices, and found masks (their rows are ``G_near``; gradients
+    w.r.t. them scatter like the batch rows).
     """
     coords = batch["coord"]
     weight = batch["weight"]
+    found = fac["found"]
     surface_mask = weight > 0
     aux: Dict[str, jnp.ndarray] = {}
 
-    def feat_of(c):
-        f = None
-        for i, level in enumerate(s.levels):
-            w = corner_weights(c, level, s.poly_int_on)
-            w = jnp.where(found[i][:, None], w, 0.0)
-            contrib = jnp.einsum("nc,ncd->nd", w.astype(G_list[i].dtype), G_list[i])
-            f = contrib if f is None else f + contrib
-        return f
-
     def pred_of(c):
-        f = feat_of(c)
+        f = _feat_from_rows(c, G_list, found, s)
         if s.time_conditioned:
             return decoder.time_conditioned_sdf(dense_params["geo"], f, batch["ts"])
         return decoder.sdf(dense_params["geo"], f)
 
-    feat = feat_of(coords)
+    feat = _feat_from_rows(coords, G_list, found, s)
     if s.time_conditioned:
         pred = decoder.time_conditioned_sdf(dense_params["geo"], feat, batch["ts"])
     else:
         pred = decoder.sdf(dense_params["geo"], feat)
 
-    need_grad = s.ekional_loss_on or s.normal_loss_on or s.proj_correction_on
+    need_grad = (
+        s.ekional_loss_on or s.normal_loss_on or s.proj_correction_on
+        or s.consistency_loss_on
+    )
     if need_grad:
         g = jax.grad(lambda c: jnp.sum(pred_of(c)))(coords) * s.sigma_sigmoid
 
@@ -369,6 +390,21 @@ def _compute_loss_sparse(dense_params, G_list, batch, corners, found, key, s: Tr
         ek = losses.eikonal_loss(g, surface_mask)
         total = total + s.weight_e * ek
         aux["eikonal_loss"] = ek
+    if s.consistency_loss_on:
+        # gradient agreement between the pre-sampled jittered near points
+        # (their structure lookup happens in the body; shine_batch.py:149-158)
+        def pred_near(c):
+            f = _feat_from_rows(c, G_near, fac["near_found"], s)
+            if s.time_conditioned:
+                ts_n = batch["ts"][fac["near_idx"]]
+                return decoder.time_conditioned_sdf(dense_params["geo"], f, ts_n)
+            return decoder.sdf(dense_params["geo"], f)
+
+        g_near = jax.grad(lambda c: jnp.sum(pred_near(c)))(fac["near_coords"])
+        g_near = g_near * s.sigma_sigmoid
+        cons = losses.consistency_loss(g[fac["near_idx"]], g_near)
+        total = total + s.weight_c * cons
+        aux["consistency_loss"] = cons
     if s.normal_loss_on:
         nl = losses.normal_loss(g, batch["normal_label"], surface_mask)
         total = total + s.weight_n * nl
@@ -443,9 +479,13 @@ def train_chunk(
                 lambda _: 0.0, lr_scale_tree[grp]
             )
 
-    use_sparse = (
-        s.sparse_feature_update and s.opt_adam and not s.consistency_loss_on
-    )
+    # resolve the feature-update mode: sparse/fused need Adam; the lazy
+    # sparse path cannot express the consistency loss's off-batch lookups
+    mode = s.feature_update if s.opt_adam else "dense"
+    if mode == "sparse" and s.consistency_loss_on:
+        mode = "dense"
+    if mode not in ("dense", "sparse", "fused"):
+        raise ValueError(f"unknown feature_update {s.feature_update!r}")
 
     def sample_batch(k_idx):
         if s.ray_loss:
@@ -507,9 +547,10 @@ def train_chunk(
             G_list.append(params["features"][i][c_i])
 
         dense_params = {k: v for k, v in params.items() if k != "features"}
+        fac = {"corners": corners, "found": found}
         (loss, aux), (g_dense, g_G) = jax.value_and_grad(
             _compute_loss_sparse, argnums=(0, 1), has_aux=True
-        )(dense_params, G_list, batch, corners, found, k_loss, s)
+        )(dense_params, G_list, (), batch, fac, k_loss, s)
 
         lr = lr_at_step(
             s.lr, start_iter + it, s.lr_decay_step, s.lr_iters_reduce_ratio
@@ -568,7 +609,121 @@ def train_chunk(
         )
         return (params, opt_state, key), aux
 
-    body = body_sparse if use_sparse else body_dense
+    def body_fused(carry, it):
+        """Factorized gradients + explicit scatter-add feeding dense Adam.
+
+        The scatter is written out explicitly (not autodiff-emitted), which
+        XLA fuses into the full-table Adam sweep — one bandwidth-bound pass
+        per level (experiments/exp_fusion_shapes.py: 2.15 ms vs 8.6 ms for
+        the autodiff formulation at 4.2M corners).  Optimizer semantics are
+        exactly the reference's dense Adam (utils/tools.py:57-83).
+        """
+        params, opt_state, key = carry
+        # same split structure as body_dense so dense/fused runs with equal
+        # seeds draw identical batches (equivalence-testable)
+        key, k_idx, k_loss = jax.random.split(key, 3)
+        batch = sample_batch(k_idx)
+        coords = batch["coord"]
+
+        def lookups(c):
+            corners, found, G = [], [], []
+            for i, level in enumerate(s.levels):
+                c_i, f_i = lookup_level(tables[i], c, level)
+                corners.append(c_i)
+                found.append(f_i)
+                G.append(params["features"][i][c_i])
+            return corners, found, G
+
+        corners, found, G_list = lookups(coords)
+        fac = {"corners": corners, "found": found}
+        G_near = ()
+        if s.consistency_loss_on:
+            k_c1, k_c2 = jax.random.split(jax.random.fold_in(k_loss, 7))
+            cnt = min(s.consistency_count, coords.shape[0])
+            near_idx = jax.random.randint(k_c1, (cnt,), 0, coords.shape[0])
+            shift_scale = s.consistency_range * s.scale
+            shift = jax.random.uniform(
+                k_c2, (cnt, 3), coords.dtype, -shift_scale, shift_scale
+            )
+            near_coords = coords[near_idx] + shift
+            corners_n, found_n, G_near = lookups(near_coords)
+            G_near = tuple(G_near)
+            fac.update(
+                near_idx=near_idx, near_coords=near_coords,
+                near_found=found_n, near_corners=corners_n,
+            )
+
+        dense_params = {k: v for k, v in params.items() if k != "features"}
+        (loss, aux), (g_dense, g_G, g_Gn) = jax.value_and_grad(
+            _compute_loss_sparse, argnums=(0, 1, 2), has_aux=True
+        )(dense_params, G_list, G_near, batch, fac, k_loss, s)
+
+        lr = lr_at_step(
+            s.lr, start_iter + it, s.lr_decay_step, s.lr_iters_reduce_ratio
+        )
+
+        dense_state = OptState(
+            m={k: opt_state.m[k] for k in dense_params},
+            v={k: opt_state.v[k] for k in dense_params},
+            step=opt_state.step,
+        )
+        dense_scale = {k: lr_scale_tree[k] for k in dense_params}
+        dense_wd = {k: wd_tree[k] for k in dense_params}
+        new_dense, dense_state = adam_update(
+            dense_params, g_dense, dense_state, lr, dense_scale, dense_wd,
+            b1=0.9, b2=0.99, eps=s.adam_eps,
+        )
+
+        t = dense_state.step.astype(jnp.float32)
+        bc1 = 1.0 - 0.9 ** t
+        bc2 = 1.0 - 0.99 ** t
+        new_feats, new_m, new_v = [], [], []
+        reg_total = jnp.zeros((), jnp.float32)
+        for i in range(len(s.levels)):
+            feats_i = params["features"][i]
+            gd = jnp.zeros_like(feats_i).at[corners[i]].add(g_G[i])
+            if s.consistency_loss_on:
+                gd = gd.at[fac["near_corners"][i]].add(g_Gn[i])
+            if s.continual_reg_on:
+                # batch-touched unique rows' importance penalty, dense form
+                # (model/feature_octree.py:246-255); trashbin row excluded
+                # like the sparse path's valid mask
+                touched = jnp.zeros((feats_i.shape[0],), feats_i.dtype)
+                touched = touched.at[corners[i].reshape(-1)].set(1.0)
+                touched = touched.at[-1].set(0.0)
+                imp = shadow["importance"][i]
+                diff = feats_i - shadow["last_frame"][i]
+                reg_total = reg_total + jnp.sum(touched[:, None] * imp * diff * diff)
+                gd = gd + touched[:, None] * (s.lambda_forget * 2.0) * imp * diff
+            m_i = opt_state.m["features"][i]
+            v_i = opt_state.v["features"][i]
+            m_n = 0.9 * m_i + 0.1 * gd
+            v_n = 0.99 * v_i + 0.01 * gd * gd
+            level_lr = lr * (s.lr_level_reduce_ratio ** i)
+            f_n = feats_i - level_lr * (m_n / bc1) / (jnp.sqrt(v_n / bc2) + s.adam_eps)
+            new_feats.append(f_n)
+            new_m.append(m_n)
+            new_v.append(v_n)
+
+        if s.continual_reg_on:
+            aux["reg_loss"] = reg_total
+            aux["total_loss"] = aux["total_loss"] + s.lambda_forget * reg_total
+
+        params = dict(new_dense)
+        params["features"] = tuple(new_feats)
+        opt_state = OptState(
+            m=dict(dense_state.m, features=tuple(new_m)),
+            v=dict(dense_state.v, features=tuple(new_v)),
+            step=dense_state.step,
+        )
+        return (params, opt_state, key), aux
+
+    if mode == "fused":
+        body = body_fused
+    elif mode == "sparse":
+        body = body_sparse
+    else:
+        body = body_dense
 
     (params, opt_state, _), aux_hist = jax.lax.scan(
         body, (params, opt_state, key), jnp.arange(n_iters)

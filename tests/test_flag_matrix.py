@@ -17,7 +17,9 @@ COMBOS = [
     dict(proj_correction_on=True, normal_loss_on=False),
     dict(ekional_loss_on=True, proj_correction_on=True),
     dict(opt_adam=False),  # SGD fallback (dense path)
-    dict(sparse_feature_update=False, consistency_loss_on=True),
+    dict(feature_update="dense", consistency_loss_on=True),
+    dict(consistency_loss_on=True),  # fused path: off-batch near lookups
+    dict(feature_update="sparse", consistency_loss_on=True),  # dense fallback
     dict(lr_iters_reduce_ratio=0.5, lr_decay_step=(2,)),
 ]
 

@@ -1,0 +1,106 @@
+"""Fused feature update (explicit scatter + dense Adam) vs autodiff dense.
+
+Both paths implement the SAME math — dense Adam over full feature tables
+(reference utils/tools.py:57-83) — the fused one just computes the feature
+gradient through the gathered corner rows and scatters it explicitly, which
+XLA fuses into the optimizer sweep (experiments/exp_fusion_shapes.py).
+They must therefore track each other to float tolerance, not just loosely.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from shine_mapping_tpu.train import trainer
+from shine_mapping_tpu.train.optimizer import init_opt_state
+from tests.test_trainer import make_sphere_pool, default_cfg, build
+
+
+def _copy(p):
+    return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
+
+
+def _run(cfg, grid, settings, params, dev_pool, n_valid, iters=5, key=0):
+    shadow = trainer.empty_shadow(params["features"])
+    return trainer.train_chunk(
+        _copy(params), init_opt_state(params), tuple(grid.tables), dev_pool,
+        shadow, n_valid, jnp.int32(0), jax.random.PRNGKey(key), settings, iters,
+    )
+
+
+def test_fused_matches_dense_exactly():
+    pool, surf = make_sphere_pool(2000)
+    cfg = default_cfg(bs=1024)
+    grid, settings_f, params, _, dev_pool, n_valid = build(
+        cfg, pool, surf, ekional_loss_on=True
+    )
+    assert settings_f.feature_update == "fused"
+    settings_d = trainer.TrainSettings.from_config(
+        cfg, grid.levels, sigma_sigmoid=0.05, feature_update="dense",
+        ekional_loss_on=True,
+    )
+    p_f, o_f, aux_f = _run(cfg, grid, settings_f, params, dev_pool, n_valid)
+    p_d, o_d, aux_d = _run(cfg, grid, settings_d, params, dev_pool, n_valid)
+    np.testing.assert_allclose(
+        float(aux_f["mean"]["total_loss"]), float(aux_d["mean"]["total_loss"]),
+        rtol=1e-5,
+    )
+    for k in p_f["geo"]:
+        np.testing.assert_allclose(
+            np.asarray(p_f["geo"][k]), np.asarray(p_d["geo"][k]),
+            rtol=1e-4, atol=1e-6,
+        )
+    for i in range(len(p_f["features"])):
+        np.testing.assert_allclose(
+            np.asarray(p_f["features"][i]), np.asarray(p_d["features"][i]),
+            rtol=1e-4, atol=2e-5,
+        )
+        # optimizer moments too (same dense-Adam state evolution)
+        np.testing.assert_allclose(
+            np.asarray(o_f.m["features"][i]), np.asarray(o_d.m["features"][i]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+def test_fused_consistency_loss_trains_finite_and_scatters_near_rows():
+    pool, surf = make_sphere_pool(1200, seed=5)
+    cfg = default_cfg(bs=512)
+    grid, settings, params, _, dev_pool, n_valid = build(
+        cfg, pool, surf, consistency_loss_on=True, consistency_count=64
+    )
+    p2, _, aux = _run(cfg, grid, settings, params, dev_pool, n_valid, iters=3)
+    assert np.isfinite(float(aux["mean"]["total_loss"]))
+    assert np.isfinite(float(aux["mean"]["consistency_loss"]))
+    for leaf in jax.tree_util.tree_leaves(p2):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    # trashbin row stays exactly zero under the fused update
+    for f in p2["features"]:
+        assert np.all(np.asarray(f[-1]) == 0)
+
+
+def test_fused_continual_reg_matches_sparse_reg_value():
+    """Fused and sparse continual-reg paths compute the same penalty on the
+    same touched rows (model/feature_octree.py:246-255 semantics)."""
+    pool, surf = make_sphere_pool(1000, seed=3)
+    cfg = default_cfg(bs=512)
+    grid, _, params, _, dev_pool, n_valid = build(cfg, pool, surf)
+    shadow = {
+        "importance": tuple(jnp.ones_like(f) for f in params["features"]),
+        "last_frame": tuple(
+            jnp.array(f, copy=True) + 0.01 for f in params["features"]
+        ),
+    }
+    out = {}
+    for mode in ("fused", "sparse"):
+        settings = trainer.TrainSettings.from_config(
+            cfg, grid.levels, sigma_sigmoid=0.05, feature_update=mode,
+            continual_reg_on=True, lambda_forget=10.0,
+        )
+        _, _, aux = trainer.train_chunk(
+            _copy(params), init_opt_state(params), tuple(grid.tables),
+            dev_pool, shadow, n_valid, jnp.int32(0), jax.random.PRNGKey(4),
+            settings, 1,
+        )
+        out[mode] = float(aux["mean"]["reg_loss"])
+    assert out["fused"] > 0
+    np.testing.assert_allclose(out["fused"], out["sparse"], rtol=1e-4)

@@ -46,11 +46,13 @@ def test_sparse_vs_dense_training_equivalent_losses():
     pool, surf = make_sphere_pool(2000)
     cfg = default_cfg(bs=1024)
 
-    grid, settings_s, params, opt_state, dev_pool, n_valid = build(cfg, pool, surf)
-    settings_d = trainer.TrainSettings.from_config(
-        cfg, grid.levels, sigma_sigmoid=0.05, sparse_feature_update=False
+    grid, settings_s, params, opt_state, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="sparse"
     )
-    assert settings_s.sparse_feature_update
+    settings_d = trainer.TrainSettings.from_config(
+        cfg, grid.levels, sigma_sigmoid=0.05, feature_update="dense"
+    )
+    assert settings_s.feature_update == "sparse"
 
     def copy(p):
         return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
@@ -148,8 +150,10 @@ def test_sparse_vs_dense_gradient_equivalence():
 def test_sparse_training_converges():
     pool, surf = make_sphere_pool(3000)
     cfg = default_cfg()
-    grid, settings, params, opt_state, dev_pool, n_valid = build(cfg, pool, surf)
-    assert settings.sparse_feature_update
+    grid, settings, params, opt_state, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="sparse"
+    )
+    assert settings.feature_update == "sparse"
     from tests.test_trainer import run_chunks
 
     params, _, aux = run_chunks(grid, settings, params, opt_state, dev_pool, n_valid)
@@ -173,10 +177,10 @@ def test_sparse_continual_reg():
         "last_frame": tuple(jnp.array(f, copy=True) for f in params["features"]),
     }
     settings_reg = trainer.TrainSettings.from_config(
-        cfg, grid.levels, sigma_sigmoid=0.05,
+        cfg, grid.levels, sigma_sigmoid=0.05, feature_update="sparse",
         continual_reg_on=True, lambda_forget=1e5, loss_reduction="sum",
     )
-    assert settings_reg.sparse_feature_update
+    assert settings_reg.feature_update == "sparse"
 
     def copy(p):
         return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
