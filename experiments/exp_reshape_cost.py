@@ -84,6 +84,8 @@ def main():
           "plain add (R,128)")
 
     # 3. pallas kernel with packed carry (kernel input stays (R,128))
+    tb = int(os.environ.get("TB", tb))
+    w = int(os.environ.get("W", w))
     rows = np.sort(rng.integers(0, C - 1, M)).astype(np.int32)
     grads = rng.normal(size=(M, D)).astype(np.float32)
     prow = (rows // PACK).astype(np.int32)
@@ -127,11 +129,13 @@ def main():
 
     m0 = jnp.zeros((C, D), jnp.float32)
     v0 = jnp.zeros((C, D), jnp.float32)
-    timed(chunk_pallas, (p, m0, v0), "pallas dot_bf16 (C,8) carry")
+    if os.environ.get("WITH_C8"):
+        timed(chunk_pallas, (p, m0, v0), "pallas dot_bf16 (C,8) carry")
     pk = jnp.array(np.asarray(p).reshape(R, 128))
     mk = jnp.zeros((R, 128), jnp.float32)
     vk = jnp.zeros((R, 128), jnp.float32)
-    timed(chunk_pallas_packed, (pk, mk, vk), "pallas dot_bf16 packed carry")
+    timed(chunk_pallas_packed, (pk, mk, vk),
+          f"pallas dot_bf16 packed tb={tb} w={w}")
 
 
 if __name__ == "__main__":

@@ -132,8 +132,30 @@ def event_boundaries(total_iters: int, freqs, chunk: int):
             start += n
 
 
+def device_local(tree):
+    """Host-local view of a (possibly multi-host global) pytree.
+
+    Replicated global arrays localize to this host's full copy; row-sharded
+    tables cannot be localized on one host — mesh/checkpoint with
+    ``table_sharding: replicated`` (or gather explicitly) in that case.
+    """
+
+    def f(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            shard = x.addressable_shards[0]
+            if shard.data.shape != x.shape:
+                raise ValueError(
+                    "cannot localize a row-sharded table on one host; use "
+                    "tpu.table_sharding: replicated for meshing/checkpointing"
+                )
+            return shard.data
+        return x
+
+    return jax.tree_util.tree_map(f, tree)
+
+
 def sync_features_to_grid(grid: HashGridHost, params) -> None:
-    grid.features = list(params["features"])
+    grid.features = list(device_local(params["features"]))
 
 
 def refresh_params_features(grid: HashGridHost, params):

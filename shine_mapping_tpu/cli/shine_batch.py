@@ -25,9 +25,11 @@ from ..train.optimizer import init_opt_state
 from ..utils import checkpoint as ckpt
 from ..utils.experiment import setup_experiment, get_time
 from ..utils.metrics_logger import MetricsLogger
+from ..utils.profiling import PhaseTimer
 from ..visualizer import MapVisualizer
 from .common import (
     build_grid,
+    device_local,
     event_boundaries,
     maybe_load_model,
     pool_capacity_for,
@@ -46,8 +48,20 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             )
         cfg.load(config_path)
 
-    run_path = setup_experiment(cfg, config_path)
-    logger = MetricsLogger(run_path, cfg.wandb_vis_on, run_name=cfg.name)
+    # multi-host bring-up must precede any other JAX call; no-op when
+    # single-process (tpu.num_processes / coordinator / process_id knobs)
+    from ..parallel.mesh import setup_distributed
+
+    rank, world = setup_distributed(cfg)
+    primary = rank == 0
+    if world > 1:
+        print(f"multi-host: process {rank}/{world}, "
+              f"{len(jax.devices())} global devices")
+
+    run_path = setup_experiment(cfg, config_path, rank=rank)
+    logger = MetricsLogger(
+        run_path, cfg.wandb_vis_on and primary, run_name=cfg.name
+    )
 
     grid = build_grid(cfg)
     # load pretrained decoders / resume a full map checkpoint BEFORE the
@@ -61,14 +75,17 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
 
     # ---------------------------------------------------------------- data phase
     print("Load, preprocess and sample data")
-    t_data0 = time.time()
-    if cfg.num_workers > 1:
-        dataset.process_frames_pipelined(dataset.frame_ids(), cfg.num_workers)
-    else:
-        for frame_id in dataset.frame_ids():
-            dataset.process_frame(frame_id)
-    t_data1 = time.time()
-    print(f"data phase: {t_data1 - t_data0:.1f} s, pool={len(dataset.pool)} samples")
+    timer = PhaseTimer()
+    with timer.phase("data"):
+        if cfg.num_workers > 1:
+            dataset.process_frames_pipelined(dataset.frame_ids(), cfg.num_workers)
+        else:
+            for frame_id in dataset.frame_ids():
+                dataset.process_frame(frame_id)
+    print(
+        f"data phase: {timer.totals['data']:.1f} s, "
+        f"pool={len(dataset.pool)} samples"
+    )
     grid.print_detail()
 
     params = trainer.init_params(cfg, grid, jax.random.PRNGKey(cfg.seed))
@@ -84,8 +101,9 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     mesher = Mesher(cfg, grid, params["geo"], params.get("sem"))
     mesher.global_transform = np.linalg.inv(dataset.begin_pose_inv)
 
-    pc_map_path = run_path + "/map/pc_map_down.ply"
-    dataset.write_merged_pc(pc_map_path)
+    if primary:
+        pc_map_path = run_path + "/map/pc_map_down.ply"
+        dataset.write_merged_pc(pc_map_path)
 
     if resume:
         from .common import pad_opt_state_features
@@ -96,19 +114,20 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         opt_state = init_opt_state(params)
     pool_rng = np.random.default_rng(cfg.seed + 1)
     rotate_pool = len(dataset.pool) > cfg.max_device_pool and not cfg.ray_loss
-    if rotate_pool:
-        capacity = cfg.max_device_pool
-        sub = pool_rng.integers(0, len(dataset.pool), capacity)
-        dev_pool, n_valid = trainer.pool_to_device(
-            dataset.pool, capacity, settings, subset=sub
-        )
-        print(
-            f"pool {len(dataset.pool)} > device budget {capacity}: rotating "
-            f"sub-pools every {cfg.pool_rotate_iters} iters"
-        )
-    else:
-        capacity = pool_capacity_for(len(dataset.pool), cfg.init_pool_capacity)
-        dev_pool, n_valid = trainer.pool_to_device(dataset.pool, capacity, settings)
+    with timer.phase("upload"):
+        if rotate_pool:
+            capacity = cfg.max_device_pool
+            sub = pool_rng.integers(0, len(dataset.pool), capacity)
+            dev_pool, n_valid = trainer.pool_to_device(
+                dataset.pool, capacity, settings, subset=sub
+            )
+            print(
+                f"pool {len(dataset.pool)} > device budget {capacity}: rotating "
+                f"sub-pools every {cfg.pool_rotate_iters} iters"
+            )
+        else:
+            capacity = pool_capacity_for(len(dataset.pool), cfg.init_pool_capacity)
+            dev_pool, n_valid = trainer.pool_to_device(dataset.pool, capacity, settings)
     shadow = trainer.empty_shadow(params["features"])
     key = jax.random.PRNGKey(cfg.seed)
     iters_since_rotate = 0
@@ -117,15 +136,20 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     print("Begin mapping")
     tables = tuple(grid.tables)
     batch_sharding = None
-    if cfg.mesh_shape > 1:
+    if cfg.mesh_shape > 1 or world > 1:
         from ..parallel import mesh as pmesh
 
-        dp_mesh = pmesh.make_data_mesh(cfg.mesh_shape)
+        n_dev = len(jax.devices()) if world > 1 else cfg.mesh_shape
+        dp_mesh = pmesh.make_data_mesh(n_dev)
         params, opt_state, tables, dev_pool, shadow = pmesh.place_training_state(
-            dp_mesh, params, opt_state, tables, dev_pool, shadow
+            dp_mesh, params, opt_state, tables, dev_pool, shadow,
+            table_sharding=cfg.table_sharding,
         )
         batch_sharding = pmesh.batch_sharded(dp_mesh)
-        print(f"data-parallel over {cfg.mesh_shape} devices")
+        print(
+            f"data-parallel over {n_dev} devices "
+            f"(tables {cfg.table_sharding})"
+        )
     t_train0 = time.time()
     done_iters = start_iter
     for start, n in event_boundaries(
@@ -146,13 +170,14 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         # resumed run draws the same batches an uninterrupted run would
         k = jax.random.fold_in(key, start)
         t0 = get_time()
-        params, opt_state, aux = trainer.train_chunk(
-            params, opt_state, tables, dev_pool, shadow,
-            n_valid, jnp.int32(start), k, settings, n,
-            batch_sharding=batch_sharding,
-        )
+        with timer.phase("train"):
+            params, opt_state, aux = trainer.train_chunk(
+                params, opt_state, tables, dev_pool, shadow,
+                n_valid, jnp.int32(start), k, settings, n,
+                batch_sharding=batch_sharding,
+            )
+            t1 = get_time(aux["mean"]["total_loss"])
         iters_since_rotate += n
-        t1 = get_time(aux["mean"]["total_loss"])
         done_iters = start + n
         rec = {("loss/" + k2): float(v) for k2, v in aux["mean"].items()}
         rec.update({
@@ -161,73 +186,91 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             "timing(s)/per_iter": (t1 - t0) / n,
             "samples_per_s": n * cfg.bs / max(t1 - t0, 1e-9),
         })
+        rec.update({f"phase(s)/{p}": v for p, v in timer.summary().items()})
         logger.log(rec)
         print(
             f"iter {done_iters}/{cfg.iters} loss {rec['loss/total_loss']:.4f} "
             f"({rec['samples_per_s'] / 1e6:.2f}M samples/s)"
         )
 
-        at_save = cfg.save_freq_iters > 0 and done_iters % cfg.save_freq_iters == 0
-        at_mesh = cfg.vis_freq_iters > 0 and done_iters % cfg.vis_freq_iters == 0
+        at_save = (
+            primary and cfg.save_freq_iters > 0
+            and done_iters % cfg.save_freq_iters == 0
+        )
+        at_mesh = (
+            primary and cfg.vis_freq_iters > 0
+            and done_iters % cfg.vis_freq_iters == 0
+        )
         if at_save and done_iters < cfg.iters:
             sync_features_to_grid(grid, params)
             name = f"model/model_iter_{done_iters}"
             ckpt.save_checkpoint(
-                f"{run_path}/{name}.npz", grid, params, opt_state, done_iters
+                f"{run_path}/{name}.npz", grid,
+                device_local(params), device_local(opt_state), done_iters,
             )
-            ckpt.save_decoders(f"{run_path}/{name}_decoders.npz", params)
+            ckpt.save_decoders(
+                f"{run_path}/{name}_decoders.npz", device_local(params)
+            )
         if at_mesh:
             sync_features_to_grid(grid, params)
-            mesher.geo_params = params["geo"]
-            mesher.sem_params = params.get("sem")
+            mesher.geo_params = device_local(params["geo"])
+            mesher.sem_params = device_local(params.get("sem"))
             print("Begin mesh reconstruction from the implicit map")
-            if not cfg.time_conditioned:
-                mesh_path = f"{run_path}/mesh/mesh_iter_{done_iters}.ply"
-                map_path = f"{run_path}/map/sdf_map_iter_{done_iters}.ply"
-                if cfg.mc_with_octree:
-                    cur_mesh = mesher.recon_octree_mesh(
-                        cfg.mc_query_level, cfg.mc_res_m, mesh_path, map_path,
-                        cfg.save_map, cfg.semantic_on,
-                    )
-                else:
-                    cur_mesh = mesher.recon_bbx_mesh(
-                        dataset.map_bbx, cfg.mc_res_m, mesh_path, map_path,
-                        cfg.save_map, cfg.semantic_on,
-                    )
-                if vis is not None:
-                    vis.update_mesh(cur_mesh)
-            else:
-                # one mesh per (even) timestamp — reference shine_batch.py:248-264
-                for frame_id in dataset.frame_ids():
-                    if frame_id % 2 != 0:
-                        continue
-                    mesher.ts = frame_id
-                    mesh_path = (
-                        f"{run_path}/mesh/mesh_iter_{done_iters}_ts_{frame_id}.ply"
-                    )
-                    map_path = (
-                        f"{run_path}/map/sdf_map_iter_{done_iters}_ts_{frame_id}.ply"
-                    )
+            with timer.phase("mesh"):
+                if not cfg.time_conditioned:
+                    mesh_path = f"{run_path}/mesh/mesh_iter_{done_iters}.ply"
+                    map_path = f"{run_path}/map/sdf_map_iter_{done_iters}.ply"
                     if cfg.mc_with_octree:
-                        mesher.recon_octree_mesh(
+                        cur_mesh = mesher.recon_octree_mesh(
                             cfg.mc_query_level, cfg.mc_res_m, mesh_path, map_path,
                             cfg.save_map, cfg.semantic_on,
                         )
                     else:
-                        mesher.recon_bbx_mesh(
+                        cur_mesh = mesher.recon_bbx_mesh(
                             dataset.map_bbx, cfg.mc_res_m, mesh_path, map_path,
                             cfg.save_map, cfg.semantic_on,
                         )
+                    if vis is not None:
+                        vis.update_mesh(cur_mesh)
+                else:
+                    # one mesh per (even) timestamp — shine_batch.py:248-264
+                    for frame_id in dataset.frame_ids():
+                        if frame_id % 2 != 0:
+                            continue
+                        mesher.ts = frame_id
+                        mesh_path = (
+                            f"{run_path}/mesh/mesh_iter_{done_iters}_ts_{frame_id}.ply"
+                        )
+                        map_path = (
+                            f"{run_path}/map/sdf_map_iter_{done_iters}_ts_{frame_id}.ply"
+                        )
+                        if cfg.mc_with_octree:
+                            mesher.recon_octree_mesh(
+                                cfg.mc_query_level, cfg.mc_res_m, mesh_path, map_path,
+                                cfg.save_map, cfg.semantic_on,
+                            )
+                        else:
+                            mesher.recon_bbx_mesh(
+                                dataset.map_bbx, cfg.mc_res_m, mesh_path, map_path,
+                                cfg.save_map, cfg.semantic_on,
+                            )
 
     t_train1 = time.time()
     print(f"training: {t_train1 - t_train0:.1f} s for {done_iters} iters")
+    print("phase totals(s): " + ", ".join(
+        f"{p}={v:.1f}" for p, v in timer.summary().items()
+    ))
 
     # final checkpoint
     sync_features_to_grid(grid, params)
-    ckpt.save_checkpoint(
-        f"{run_path}/model/model_final.npz", grid, params, opt_state, done_iters
-    )
-    ckpt.save_decoders(f"{run_path}/model/model_final_decoders.npz", params)
+    if primary:
+        ckpt.save_checkpoint(
+            f"{run_path}/model/model_final.npz", grid,
+            device_local(params), device_local(opt_state), done_iters,
+        )
+        ckpt.save_decoders(
+            f"{run_path}/model/model_final_decoders.npz", device_local(params)
+        )
     logger.close()
     if vis is not None:
         vis.stop()

@@ -48,8 +48,17 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
             )
         cfg.load(config_path)
 
-    run_path = setup_experiment(cfg, config_path)
-    logger = MetricsLogger(run_path, cfg.wandb_vis_on, run_name=cfg.name)
+    # multi-host bring-up must precede any other JAX call (no-op when
+    # single-process)
+    from ..parallel.mesh import setup_distributed
+
+    rank, world = setup_distributed(cfg)
+    primary = rank == 0
+
+    run_path = setup_experiment(cfg, config_path, rank=rank)
+    logger = MetricsLogger(
+        run_path, cfg.wandb_vis_on and primary, run_name=cfg.name
+    )
 
     grid = build_grid(cfg)
     # incremental mode rebuilds the optimizer per frame (shine_incre.py:
@@ -105,12 +114,14 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
         T1 = time.time()
         tables = tuple(grid.tables)
         batch_sharding = None
-        if cfg.mesh_shape > 1:
+        if cfg.mesh_shape > 1 or world > 1:
             from ..parallel import mesh as pmesh
 
-            dp_mesh = pmesh.make_data_mesh(cfg.mesh_shape)
+            n_dev = len(jax.devices()) if world > 1 else cfg.mesh_shape
+            dp_mesh = pmesh.make_data_mesh(n_dev)
             params, opt_state, tables, dev_pool, shadow = pmesh.place_training_state(
-                dp_mesh, params, opt_state, tables, dev_pool, shadow
+                dp_mesh, params, opt_state, tables, dev_pool, shadow,
+                table_sharding=cfg.table_sharding,
             )
             batch_sharding = pmesh.batch_sharded(dp_mesh)
         key, k = jax.random.split(key)
@@ -135,10 +146,14 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
         T2 = time.time()
 
         cur_mesh = None
-        if processed_frame == 0 or (processed_frame + 1) % cfg.mesh_freq_frame == 0:
+        if primary and (
+            processed_frame == 0 or (processed_frame + 1) % cfg.mesh_freq_frame == 0
+        ):
+            from .common import device_local
+
             print("Begin mesh reconstruction from the implicit map")
-            mesher.geo_params = params["geo"]
-            mesher.sem_params = params.get("sem")
+            mesher.geo_params = device_local(params["geo"])
+            mesher.sem_params = device_local(params.get("sem"))
             mesh_path = f"{run_path}/mesh/mesh_frame_{frame_id + 1}.ply"
             map_path = f"{run_path}/map/sdf_map_frame_{frame_id + 1}.ply"
             if cfg.mc_with_octree:
@@ -174,10 +189,13 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
         processed_frame += 1
 
     sync_features_to_grid(grid, params)
-    ckpt.save_checkpoint(
-        f"{run_path}/model/model_final.npz", grid, params,
-        init_opt_state(params), total_iter,
-    )
+    if primary:
+        from .common import device_local
+
+        ckpt.save_checkpoint(
+            f"{run_path}/model/model_final.npz", grid, device_local(params),
+            init_opt_state(device_local(params)), total_iter,
+        )
     logger.close()
     if vis is not None:
         vis.stop()

@@ -188,6 +188,17 @@ class SHINEConfig:
     init_corner_capacity: int = 1 << 16
     # data-parallel mesh axis size (1 = single chip); batch dim sharded over it
     mesh_shape: int = 1
+    # multi-host (multi-controller jax.distributed) bring-up; leave
+    # num_processes at 0 for single-process runs.  process_id -1 means
+    # autodetect from the TPU pod environment.
+    coordinator: str = ""
+    num_processes: int = 0
+    process_id: int = -1
+    # feature-table layout across the mesh: "replicated" (grads all-reduce;
+    # tables are MBs-GBs, reference memory math model/feature_octree.py:296)
+    # or "rows" (row-sharded tables for city-scale maps; lookups gather
+    # cross-chip, gradients reduce-scatter)
+    table_sharding: str = "replicated"
     # feature-table optimizer formulation: "fused" (explicit scatter fused
     # into the dense Adam sweep; reference-exact semantics, fastest on-chip),
     # "sparse" (lazy touched-rows Adam; map-size-independent, compact
@@ -303,6 +314,10 @@ class SHINEConfig:
         self.scan_chunk = opt("tpu", "scan_chunk", self.scan_chunk)
         self.mesh_shape = opt("tpu", "mesh_shape", self.mesh_shape)
         self.feature_update = opt("tpu", "feature_update", self.feature_update)
+        self.coordinator = opt("tpu", "coordinator", self.coordinator)
+        self.num_processes = opt("tpu", "num_processes", self.num_processes)
+        self.process_id = opt("tpu", "process_id", self.process_id)
+        self.table_sharding = opt("tpu", "table_sharding", self.table_sharding)
         self.init_node_capacity = opt("tpu", "init_node_capacity", self.init_node_capacity)
         self.init_corner_capacity = opt("tpu", "init_corner_capacity", self.init_corner_capacity)
         self.init_pool_capacity = opt("tpu", "init_pool_capacity", self.init_pool_capacity)

@@ -21,6 +21,7 @@ model/feature_octree.py:296-297).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -42,8 +43,31 @@ def initialize_distributed(
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
-            process_id=process_id,
+            process_id=None if process_id is None or process_id < 0 else process_id,
         )
+
+
+def setup_distributed(cfg) -> tuple[int, int]:
+    """Driver entry: bring up ``jax.distributed`` from the config's ``tpu:``
+    section (``coordinator`` / ``num_processes`` / ``process_id``; TPU-pod
+    env autodetect when they are unset) and return
+    (process_index, process_count).
+
+    Must run before any other JAX call in the process.  Single-process runs
+    (num_processes <= 1 and no pod env) are a no-op returning (0, 1).
+    """
+    n = int(getattr(cfg, "num_processes", 0) or 0)
+    if n > 1:
+        initialize_distributed(
+            coordinator=getattr(cfg, "coordinator", "") or None,
+            num_processes=n,
+            process_id=int(getattr(cfg, "process_id", -1)),
+        )
+    elif os.environ.get("SHINE_POD_AUTODETECT") == "1":
+        # TPU pod slice with everything discoverable from the environment;
+        # opt-in (single-chip dev tunnels export misleading TPU_* vars)
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
 
 
 def make_data_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -68,13 +92,51 @@ def shard_tables_by_rows(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", None))
 
 
-def place_training_state(mesh: Mesh, params, opt_state, tables, pool, shadow):
+def place_training_state(
+    mesh: Mesh, params, opt_state, tables, pool, shadow,
+    table_sharding: str = "replicated",
+):
     """Place all training state with the canonical DP layout.
+
+    ``table_sharding``:
+    * "replicated" — everything replicated; batch-sharded backward meets
+      replicated params and XLA all-reduces gradients over ICI.
+    * "rows" — the feature tables (params["features"] and their optimizer
+      moments / shadow tables) are row-sharded over the ``data`` axis
+      (giant-map layout): lookups all-gather rows, gradient scatters
+      reduce-scatter back.  Hash tables and pools stay replicated.
 
     Returns the placed pytrees; the batch itself is sharded inside the
     jitted step via ``train_chunk(..., batch_sharding=batch_sharded(mesh))``.
     """
     repl = replicated(mesh)
+    if table_sharding == "rows":
+        rows = shard_tables_by_rows(mesh)
+        new_params = dict(
+            jax.device_put({k: v for k, v in params.items() if k != "features"}, repl)
+        )
+        new_params["features"] = tuple(
+            jax.device_put(f, rows) for f in params["features"]
+        )
+        params = new_params
+        m = dict(jax.device_put({k: v for k, v in opt_state.m.items() if k != "features"}, repl))
+        v = dict(jax.device_put({k: v2 for k, v2 in opt_state.v.items() if k != "features"}, repl))
+        m["features"] = tuple(jax.device_put(f, rows) for f in opt_state.m["features"])
+        v["features"] = tuple(jax.device_put(f, rows) for f in opt_state.v["features"])
+        opt_state = type(opt_state)(m=m, v=v, step=jax.device_put(opt_state.step, repl))
+        shadow = {
+            k: tuple(
+                jax.device_put(f, rows if f.shape[0] > 1 else repl) for f in t
+            )
+            for k, t in shadow.items()
+        }
+        return (
+            params,
+            opt_state,
+            jax.device_put(tables, repl),
+            jax.device_put(pool, repl),
+            shadow,
+        )
     return (
         jax.device_put(params, repl),
         jax.device_put(opt_state, repl),

@@ -16,9 +16,11 @@ from datetime import datetime
 import numpy as np
 
 
-def setup_experiment(config, config_file: str | None = None) -> str:
+def setup_experiment(config, config_file: str | None = None, rank: int = 0) -> str:
     ts = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     run_name = f"{config.name}_{ts}"
+    if rank:  # non-primary processes keep their artifacts separate
+        run_name += f"_rank{rank}"
     run_path = os.path.join(config.output_root or ".", run_name)
     for sub in ("", "mesh", "map", "model"):
         os.makedirs(os.path.join(run_path, sub), mode=0o755, exist_ok=True)

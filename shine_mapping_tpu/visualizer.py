@@ -1,12 +1,21 @@
 """Interactive map visualizer.
 
 Parity target: reference ``MapVisualizer`` (utils/visualizer.py:28-201): a
-non-blocking window showing the current scan, sensor pose frame and latest
-mesh, with key callbacks — space pauses/resumes, V toggles the mesh, F the
-pose frame, M the scan map (utils/visualizer.py:107-118).  Open3D is not
-part of the TPU image, so the visualizer degrades to a headless no-op (same
-API) when it is missing — all drivers run with ``o3d_vis_on: False`` by
-default on TPU hosts.
+non-blocking window showing the current scan (golden), sensor pose frame
+and the latest mesh, with key controls —
+
+* [SPACE]  pause / resume the mapping loop
+* [N]      single-step one frame while paused
+* [Q]/[ESC] quit
+* [V]      toggle ego <-> global view (camera pose saved/restored)
+* [F]      toggle the current-scan rendering
+* [M]      toggle the mesh map rendering
+* [B]/[W]  black / white background
+
+The control state machine is plain Python (``handle_key``/``wait_if_paused``)
+so it is unit-testable headless; Open3D is only needed to actually draw.
+Without Open3D (the TPU image default) the class degrades to a no-op with
+the same API and all drivers run with ``o3d_vis_on: False``.
 """
 
 from __future__ import annotations
@@ -23,6 +32,8 @@ except ImportError:  # pragma: no cover
     _HAS_O3D = False
 
 
+SCAN_COLOR = np.array([1.0, 0.843, 0.0])  # golden, like the reference
+
 RANDOM_COLOR_TABLE = np.array(
     [
         [0.12, 0.47, 0.71],
@@ -34,71 +45,185 @@ RANDOM_COLOR_TABLE = np.array(
     ]
 )
 
+KEY_SPACE = " "
+KEY_STEP = "N"
+KEY_QUIT = "Q"
+KEY_ESC = "\x1b"
+KEY_VIEW = "V"
+KEY_FRAME = "F"
+KEY_MAP = "M"
+KEY_BLACK = "B"
+KEY_WHITE = "W"
+
 
 class MapVisualizer:
     """Non-blocking visualizer; headless no-op without open3d."""
 
-    def __init__(self) -> None:
-        self.paused = False
-        self.show_mesh = True
-        self.show_frame = True
-        self.show_scan = True
+    def __init__(self, frame_axis_len: float = 0.8) -> None:
+        # control state (headless-testable)
+        self.playing = True          # [SPACE]
+        self.step_once = False       # [N] while paused
+        self.quit_requested = False  # [Q]/[ESC]
+        self.global_view = False     # [V]
+        self.render_scan = True      # [F]
+        self.render_map = True       # [M]
+        self.background = "white"    # [B]/[W]
+        self.frame_axis_len = frame_axis_len
+
         self._vis = None
+        self._saved_camera = None
+        self._reset_bounding_box = True
         if not _HAS_O3D:
             print("open3d not available: visualizer runs headless (no-op)")
             return
-        # pragma: no cover — requires a display
+        self._init_window()  # pragma: no cover — requires a display
+
+    # ---------------------------------------------------------------- state
+    def handle_key(self, key: str) -> None:
+        """Apply one key press to the control state (display-independent)."""
+        key = key.upper() if key != KEY_ESC else key
+        if key == KEY_SPACE.upper() or key == KEY_SPACE:
+            self.playing = not self.playing
+        elif key == KEY_STEP:
+            if not self.playing:
+                self.step_once = True
+        elif key in (KEY_QUIT, KEY_ESC):
+            self.quit_requested = True
+        elif key == KEY_VIEW:
+            self.global_view = not self.global_view
+        elif key == KEY_FRAME:
+            self.render_scan = not self.render_scan
+        elif key == KEY_MAP:
+            self.render_map = not self.render_map
+        elif key == KEY_BLACK:
+            self.background = "black"
+        elif key == KEY_WHITE:
+            self.background = "white"
+
+    def should_advance(self) -> bool:
+        """One mapping step allowed? True when playing, or when a [N] step
+        was requested while paused (consumes the step)."""
+        if self.quit_requested:
+            return False
+        if self.playing:
+            return True
+        if self.step_once:
+            self.step_once = False
+            return True
+        return False
+
+    # ---------------------------------------------------------------- o3d
+    def _init_window(self):  # pragma: no cover — requires a display
         self._vis = o3d.visualization.VisualizerWithKeyCallback()
-        self._vis.create_window(window_name="shine_mapping_tpu")
-        self._vis.register_key_callback(ord(" "), self._toggle("paused"))
-        self._vis.register_key_callback(ord("V"), self._toggle("show_mesh"))
-        self._vis.register_key_callback(ord("F"), self._toggle("show_frame"))
-        self._vis.register_key_callback(ord("M"), self._toggle("show_scan"))
+        self._vis.create_window(window_name="shine_mapping_tpu", width=1920, height=1080)
+        for key in (KEY_SPACE, KEY_STEP, KEY_QUIT, KEY_ESC, KEY_VIEW,
+                    KEY_FRAME, KEY_MAP, KEY_BLACK, KEY_WHITE):
+            self._vis.register_key_callback(
+                ord(key), lambda _v, k=key: self._on_key(k)
+            )
         self._scan = o3d.geometry.PointCloud()
         self._mesh = o3d.geometry.TriangleMesh()
-        self._frame = o3d.geometry.TriangleMesh.create_coordinate_frame(size=1.0)
-        self._first = True
+        self._frame = o3d.geometry.TriangleMesh.create_coordinate_frame(
+            size=self.frame_axis_len
+        )
+        self._vis.add_geometry(self._scan)
+        self._vis.add_geometry(self._mesh)
+        self._vis.add_geometry(self._frame)
+        opt = self._vis.get_render_option()
+        opt.background_color = [1.0, 1.0, 1.0]
+        opt.point_size = 2
+        opt.light_on = True
+        self._view_control = self._vis.get_view_control()
+        self._saved_camera = (
+            self._view_control.convert_to_pinhole_camera_parameters()
+        )
+        print(
+            "MapVisualizer: [SPACE] pause/start, [N] step, [Q]/[ESC] quit, "
+            "[V] ego/global view, [F] scan, [M] map, [B]/[W] background"
+        )
 
-    def _toggle(self, attr: str):  # pragma: no cover
-        def cb(_vis):
-            setattr(self, attr, not getattr(self, attr))
-            return False
+    def _on_key(self, key: str):  # pragma: no cover
+        was_global = self.global_view
+        self.handle_key(key)
+        if self.quit_requested:
+            print("Destroying visualizer")
+            self._vis.destroy_window()
+            import os as _os
 
-        return cb
+            _os._exit(0)
+        opt = self._vis.get_render_option()
+        opt.background_color = (
+            [0.0, 0.0, 0.0] if self.background == "black" else [1.0, 1.0, 1.0]
+        )
+        if self.global_view != was_global:
+            # swap camera: save the current pose, restore the other view's
+            self._vis.update_renderer()
+            self._vis.reset_view_point(True)
+            current = self._view_control.convert_to_pinhole_camera_parameters()
+            if self._saved_camera is not None and not self.global_view:
+                self._view_control.convert_from_pinhole_camera_parameters(
+                    self._saved_camera
+                )
+            self._saved_camera = current
+        return False
 
+    # ---------------------------------------------------------------- API
     def update(self, scan_pc=None, pose: Optional[np.ndarray] = None, mesh=None) -> None:
         if self._vis is None:
             return
         # pragma: no cover — requires a display
-        if self.paused:
-            self._vis.poll_events()
-            return
-        if scan_pc is not None and self.show_scan:
-            self._scan.points = o3d.utility.Vector3dVector(scan_pc.points)
-        if pose is not None and self.show_frame:
-            self._frame = o3d.geometry.TriangleMesh.create_coordinate_frame(size=1.0)
+        if scan_pc is not None:
+            if self.render_scan:
+                self._scan.points = o3d.utility.Vector3dVector(scan_pc.points)
+                self._scan.paint_uniform_color(SCAN_COLOR)
+            else:
+                self._scan.points = o3d.utility.Vector3dVector()
+        if pose is not None:
+            self._vis.remove_geometry(self._frame, False)
+            self._frame = o3d.geometry.TriangleMesh.create_coordinate_frame(
+                size=self.frame_axis_len
+            )
             self._frame.transform(pose)
-        if mesh is not None and self.show_mesh:
+            self._vis.add_geometry(self._frame, self._reset_bounding_box)
+            if not self.global_view and self._saved_camera is None:
+                # camera-follow in ego view: keep the sensor centred
+                self._vis.reset_view_point(False)
+        if mesh is not None and self.render_map:
             self._mesh.vertices = o3d.utility.Vector3dVector(mesh.vertices)
             self._mesh.triangles = o3d.utility.Vector3iVector(mesh.triangles)
             if mesh.vertex_colors is not None:
-                self._mesh.vertex_colors = o3d.utility.Vector3dVector(mesh.vertex_colors)
+                self._mesh.vertex_colors = o3d.utility.Vector3dVector(
+                    mesh.vertex_colors
+                )
             self._mesh.compute_vertex_normals()
-        if self._first:
-            self._vis.add_geometry(self._scan)
-            self._vis.add_geometry(self._mesh)
-            self._vis.add_geometry(self._frame)
-            self._first = False
-        else:
-            self._vis.update_geometry(self._scan)
-            self._vis.update_geometry(self._mesh)
-            self._vis.update_geometry(self._frame)
+        elif not self.render_map:
+            self._mesh.vertices = o3d.utility.Vector3dVector()
+            self._mesh.triangles = o3d.utility.Vector3iVector()
+        self._vis.update_geometry(self._scan)
+        self._vis.update_geometry(self._mesh)
+        if self._reset_bounding_box:
+            self._vis.reset_view_point(True)
+            self._reset_bounding_box = False
         self._vis.poll_events()
         self._vis.update_renderer()
+        self.wait_if_paused()
+
+    def wait_if_paused(self) -> None:
+        """Block (polling events) while paused, until resume or [N]."""
+        if self._vis is None:
+            return
+        while not self.should_advance():  # pragma: no cover
+            self._vis.poll_events()
+            self._vis.update_renderer()
 
     def update_mesh(self, mesh) -> None:
         self.update(mesh=mesh)
 
     def stop(self) -> None:
-        if self._vis is not None:  # pragma: no cover
-            self._vis.destroy_window()
+        """End-of-run hold: keep the window open until resume/quit
+        (reference ``MapVisualizer.stop``, utils/visualizer.py:85-91)."""
+        if self._vis is None:
+            return
+        self.playing = False  # pragma: no cover
+        self.wait_if_paused()
+        self._vis.destroy_window()

@@ -70,6 +70,14 @@ def test_batch_driver_end_to_end(synth_root, tmp_path):
     assert os.path.exists(run_path + "/map/pc_map_down.ply")
     assert os.path.exists(run_path + "/metrics.jsonl")
 
+    # phase timers recorded in the metrics stream
+    import json
+
+    with open(run_path + "/metrics.jsonl") as f:
+        rec = json.loads(f.readlines()[-1])
+    assert "phase(s)/data" in rec and "phase(s)/train" in rec
+    assert rec["phase(s)/train"] > 0 and rec["phase(s)/data"] > 0
+
     # reconstruct final mesh
     from shine_mapping_tpu.mesher import Mesher
 

@@ -60,7 +60,91 @@ def test_sharded_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_graft_dryrun_multichip():
+def test_row_sharded_layout_survives_capacity_doublings():
+    """Giant-map layout through the DRIVER code path
+    (parallel.mesh.place_training_state(table_sharding='rows')): gradients
+    flowing through the cross-shard gathers match the replicated run, and
+    the layout stays correct across >= 2 feature-table capacity doublings
+    (growth -> re-place -> train)."""
+    from shine_mapping_tpu.cli.common import pad_opt_state_features
+    from shine_mapping_tpu.parallel import mesh as pmesh
+    from shine_mapping_tpu.train.optimizer import OptState
+
+    pool, surf = make_sphere_pool(1200, radius=0.35)
+    cfg = default_cfg(bs=512)
+    from shine_mapping_tpu.ops.hashgrid import HashGridHost
+
+    grid = HashGridHost(
+        max_level=cfg.tree_level_world,
+        featured_level_num=cfg.tree_level_feat,
+        feature_dim=cfg.feature_dim,
+        feature_std=cfg.feature_std,
+        seed=cfg.seed,
+        init_node_capacity=1 << 9,
+        init_corner_capacity=1 << 9,  # tiny: growth forces doublings
+    )
+    grid.update(surf)
+    settings = trainer.TrainSettings.from_config(cfg, grid.levels, sigma_sigmoid=0.05)
+    params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
+    opt_state = init_opt_state(params)
+    dev_pool, n_valid = trainer.pool_to_device(pool, 1 << 13, settings)
+
+    dp_mesh = pmesh.make_data_mesh(8)
+    batch_sh = pmesh.batch_sharded(dp_mesh)
+
+    def copy(p):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
+
+    p_repl, o_repl = copy(params), init_opt_state(params)
+    p_rows, o_rows = copy(params), init_opt_state(params)
+    caps = [grid.host_levels[0].corner_capacity]
+    rng = np.random.default_rng(11)
+
+    for rnd in range(3):
+        shadow = trainer.empty_shadow(p_repl["features"])
+        key = jax.random.PRNGKey(rnd)
+        tables = tuple(grid.tables)
+        p_repl, o_repl, aux_r = trainer.train_chunk(
+            p_repl, o_repl, tables, dev_pool, shadow,
+            n_valid, jnp.int32(0), key, settings, 2,
+        )
+        pr, orr, tb, pl, sh = pmesh.place_training_state(
+            dp_mesh, p_rows, o_rows, tables, dev_pool, shadow,
+            table_sharding="rows",
+        )
+        pr, orr, aux_s = trainer.train_chunk(
+            pr, orr, tb, pl, sh, n_valid, jnp.int32(0), key, settings, 2,
+            batch_sharding=batch_sh,
+        )
+        np.testing.assert_allclose(
+            float(aux_r["mean"]["total_loss"]), float(aux_s["mean"]["total_loss"]),
+            rtol=1e-4,
+        )
+        for a, b in zip(p_repl["features"], pr["features"]):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.mean(np.abs(a - b) > 2e-4) < 0.01
+        p_rows = copy(jax.tree_util.tree_map(np.asarray, pr))
+        o_rows = OptState(
+            m=copy(jax.tree_util.tree_map(np.asarray, orr.m)),
+            v=copy(jax.tree_util.tree_map(np.asarray, orr.v)),
+            step=jnp.asarray(np.asarray(orr.step)),
+        )
+
+        # grow the map with a new region -> capacity may double
+        extra = rng.standard_normal((1500, 3))
+        extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+        extra *= 0.55 + 0.12 * rnd
+        grid.features = list(p_repl["features"])
+        grid.update(extra)
+        caps.append(grid.host_levels[0].corner_capacity)
+        new_feats = tuple(grid.features)
+        p_repl = dict(p_repl, features=new_feats)
+        o_repl = pad_opt_state_features(o_repl, p_repl)
+        # rows copy must track the same grown features
+        p_rows = dict(p_rows, features=tuple(jnp.asarray(np.asarray(f)) for f in new_feats))
+        o_rows = pad_opt_state_features(o_rows, p_rows)
+
+    assert caps[-1] >= 4 * caps[0], f"expected >=2 doublings, got {caps}"
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
