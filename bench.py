@@ -8,15 +8,17 @@ loss + backward + Adam — at the ICRA'23 MaiCity batch configuration
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference repo publishes no points/s number
-(BASELINE.md "published: {}").  The comparison row is measured in kind: the
-reference's per-iteration cost is dominated by HOST-side work — the Python
-dict lookup of bs x levels Morton keys plus the list->tensor conversion
-(model/feature_octree.py:204-215, called out in-repo as "the most
-time-consuming part").  Measured on this host class with a 3.2M-key dict
-and bs=8192 x 3 levels: 21.6 ms (dict) + 46.9 ms (torch.tensor conversion)
-= ~68 ms/iter before any GPU compute => ~120k points/s host-bound.
-REF_BASELINE_POINTS_PER_S assumes a 2x faster workstation host plus
-overlap: 2.5e5 points/s.  See BENCH_NOTES.md for the full analysis.
+(BASELINE.md "published: {}").  The comparison row is now MEASURED, not
+estimated: experiments/bench_reference.py runs the reference's OWN code
+(/root/reference FeatureOctree/Decoder/loss, kaolin shimmed, torch CPU —
+no CUDA/kaolin/Open3D exists in this image and there is no egress to fetch
+MaiCity) on the SAME MaiCity-scale world this bench uses (identical
+3.18M/3.07M/2.40M corners/level).  Its per-iteration host-side floor —
+get_indices Python-dict lookups + list->tensor conversion, synchronous on
+the critical path (model/feature_octree.py:199-218) — measures 58.6
+ms/iter at bs 8192, i.e. 139,863 points/s EVEN WITH AN INFINITELY FAST
+GPU, on this same host.  (Full reference step on torch CPU: 15.7k
+points/s.)  See experiments/ref_baseline.json and BENCH_NOTES.md.
 """
 
 from __future__ import annotations
@@ -26,7 +28,8 @@ import time
 
 import numpy as np
 
-REF_BASELINE_POINTS_PER_S = 2.5e5
+# measured host floor of the reference on this machine (see docstring)
+REF_BASELINE_POINTS_PER_S = 139863.0
 
 
 def main() -> None:
@@ -139,11 +142,13 @@ def main() -> None:
         # best post-warmup chunk: robust against tunnel-latency spikes
         return float(np.min(times[1:]))
 
-    # fused (explicit-scatter dense Adam) vs sparse (lazy Adam): the better
-    # wins — fused on-chip at this map size, sparse for giant maps
+    # pallas (packed-table one-hot-matmul kernel) vs fused (explicit-scatter
+    # XLA) vs sparse (lazy Adam): the best wins — pallas on-chip at this map
+    # size, sparse for giant maps
+    t_pallas = run_variant("pallas")
     t_fused = run_variant("fused")
     t_sparse = run_variant("sparse")
-    chunk_t = min(t_fused, t_sparse)
+    chunk_t = min(t_pallas, t_fused, t_sparse)
 
     pts_per_s = n_iters * cfg.bs / chunk_t
     print(

@@ -1,0 +1,220 @@
+"""Pallas fused scatter+Adam update for the feature tables.
+
+The round-2 bottleneck analysis (experiments/exp_iter_ablation.py,
+exp_pallas_debug.py, exp_reshape_cost.py) found:
+
+* XLA's scatter is entry-bound (~90-110 ns/entry) and its dense-Adam
+  sweep is bandwidth-bound (~440 GB/s); written as explicit scatter + sweep
+  the update costs ~7.3 ms/level at ICRA scale (4.2M x 8 corners, 65k
+  entries).
+* This kernel replaces BOTH with one pass over the table tiles: the tile
+  gradient is formed IN VMEM by a one-hot MXU matmul over the tile's
+  (sorted) gradient entries — no scatter anywhere — then full dense-Adam
+  semantics are applied to the tile.  Measured 3.1 ms/level.
+* CRITICAL layout detail: the tables must stay in the packed
+  ``(C*D/128, 128)`` shape across the training scan.  A ``(C, D)``-shaped
+  carry forces XLA to materialize layout copies around the pallas
+  custom-call (22 ms/level instead of 3.1); a plain XLA ``reshape`` of the
+  packed array is free, so the un-packed view is used for gathers inside
+  the same jit.
+
+Gradient exactness: the one-hot matrix A is exactly 0/1, so splitting the
+gradient entries into bf16 hi+lo parts and accumulating two bf16 matmuls
+in f32 reproduces the f32 scatter-add bit-for-bit up to f32 addition
+order (verified to ~3e-6 absolute in exp_pallas_debug.py).
+
+Falls back to an equivalent XLA formulation when not on TPU, when the
+feature dim does not pack into 128 lanes, or when a pathologically
+clustered batch overflows a tile's entry window (checked, lax.cond).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas is TPU-only at runtime; import lazily-safe
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def packable(C: int, D: int) -> bool:
+    """Can a (C, D) table be viewed as (C*D/128, 128)?"""
+    return D > 0 and 128 % D == 0 and (C * D) % 128 == 0
+
+
+# ------------------------------------------------------------------ kernel
+
+
+def _kernel(offs_ref, scal_ref, p_ref, m_ref, v_ref,
+            prow0_ref, prow1_ref, g0h_ref, g0l_ref, g1h_ref, g1l_ref,
+            po_ref, mo_ref, vo_ref, *, tb: int, w: int, b1: float, b2: float,
+            eps: float):
+    t = pl.program_id(0)
+    lr = scal_ref[0]
+    bc1 = scal_ref[1]
+    bc2 = scal_ref[2]
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, w), 0) + t * tb
+    A0 = (prow0_ref[:] == s_ids).astype(jnp.bfloat16)  # (1,W) bcast -> (TB,W)
+    A1 = (prow1_ref[:] == s_ids).astype(jnp.bfloat16)
+    gtile = (
+        jnp.dot(A0, g0h_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(A0, g0l_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(A1, g1h_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(A1, g1l_ref[:], preferred_element_type=jnp.float32)
+    )
+    m_new = b1 * m_ref[:] + (1.0 - b1) * gtile
+    v_new = b2 * v_ref[:] + (1.0 - b2) * gtile * gtile
+    po_ref[:] = p_ref[:] - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
+    mo_ref[:] = m_new
+    vo_ref[:] = v_new
+
+
+def _pallas_update(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
+                   tb: int, w: int, b1: float, b2: float, eps: float):
+    R = p128.shape[0]
+    T = R // tb
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+            pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+            pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+            pl.BlockSpec((1, w), lambda t, offs, scal: (0, offs[t])),
+            pl.BlockSpec((1, w), lambda t, offs, scal: (0, offs[t] + 1)),
+            pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t], 0)),
+            pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t], 0)),
+            pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t] + 1, 0)),
+            pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t] + 1, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+            pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+            pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, tb=tb, w=w, b1=b1, b2=b2, eps=eps),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(offs, scal, p128, m128, v128, prow_p, prow_p, g_hi, g_lo, g_hi, g_lo)
+
+
+# ------------------------------------------------------------------ wrapper
+
+
+def _xla_update(p128, m128, v128, rows, grads, lr, bc1, bc2,
+                C: int, D: int, b1: float, b2: float, eps: float):
+    """Equivalent dense-Adam update in plain XLA (CPU / fallback path)."""
+    p = p128.reshape(C, D)
+    gd = jnp.zeros_like(p).at[rows].add(grads)
+    m = b1 * m128.reshape(C, D) + (1.0 - b1) * gd
+    v = b2 * v128.reshape(C, D) + (1.0 - b2) * gd * gd
+    p = p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+    R = p128.shape[0]
+    return p.reshape(R, 128), m.reshape(R, 128), v.reshape(R, 128)
+
+
+def choose_tiles(C: int, D: int, M: int) -> Tuple[int, int]:
+    """Static (tile rows, window block) sizes for the kernel."""
+    R = C * D // 128
+    tb = min(512, R)
+    while R % tb:
+        tb //= 2
+    exp = max(256, 4 * M * tb // max(R, 1))
+    w = 256
+    while w < exp:
+        w *= 2
+    return tb, w
+
+
+def fused_adam_packed(
+    p128: jnp.ndarray,
+    m128: jnp.ndarray,
+    v128: jnp.ndarray,
+    rows: jnp.ndarray,
+    grads: jnp.ndarray,
+    lr: jnp.ndarray,
+    bc1: jnp.ndarray,
+    bc2: jnp.ndarray,
+    C: int,
+    D: int,
+    b1: float = 0.9,
+    b2: float = 0.99,
+    eps: float = 1e-15,
+    use_pallas: bool = True,
+):
+    """Dense-Adam step on a packed (R,128) table with sparse gradient
+    entries ``rows`` (M,) int32 (unsorted, duplicates fine; trashbin rows
+    carry zero grads) and ``grads`` (M, D).
+
+    Returns updated (p128, m128, v128).
+    """
+    M = rows.shape[0]
+    if not (use_pallas and _HAS_PALLAS and packable(C, D)):
+        return _xla_update(p128, m128, v128, rows, grads, lr, bc1, bc2,
+                           C, D, b1, b2, eps)
+
+    PACK = 128 // D
+    R = C * D // 128
+    tb, w = choose_tiles(C, D, M)
+    T = R // tb
+
+    order = jnp.argsort(rows)
+    hints = dict(unique_indices=True, mode="promise_in_bounds")
+    rows_s = rows.at[order].get(**hints)
+    grads_s = grads.at[order].get(**hints)
+    prow = (rows_s // PACK).astype(jnp.int32)
+
+    lane = jnp.arange(128, dtype=jnp.int32)
+    g_rep = jnp.tile(grads_s, (1, PACK))  # g_rep[k, l] = grads[k, l % D]
+    mask = (lane[None, :] // D) == (rows_s % PACK)[:, None].astype(jnp.int32)
+    g128 = jnp.where(mask, g_rep, 0.0)
+    g_hi = g128.astype(jnp.bfloat16)
+    g_lo = (g128 - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    Mpad = ((M + w - 1) // w) * w + w
+    prow_p = jnp.full((1, Mpad), -1, jnp.int32).at[0, :M].set(prow)
+    pad_g = jnp.zeros((Mpad - M, 128), jnp.bfloat16)
+    g_hi = jnp.concatenate([g_hi, pad_g], axis=0)
+    g_lo = jnp.concatenate([g_lo, pad_g], axis=0)
+
+    bounds = jnp.arange(T + 1, dtype=jnp.int32) * tb
+    wstart = jnp.searchsorted(prow, bounds).astype(jnp.int32)
+    offs = jnp.minimum(wstart[:-1] // w, Mpad // w - 2).astype(jnp.int32)
+    # every tile's entries must fit its two w-blocks; a pathologically
+    # clustered batch falls back to the XLA formulation
+    ok = jnp.all(wstart[1:] <= offs * w + 2 * w)
+    scal = jnp.stack([lr, bc1, bc2, jnp.float32(0)]).astype(jnp.float32)
+
+    def do_pallas(args):
+        p128, m128, v128 = args
+        return tuple(_pallas_update(
+            p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
+            tb, w, b1, b2, eps,
+        ))
+
+    def do_xla(args):
+        p128, m128, v128 = args
+        return _xla_update(p128, m128, v128, rows, grads, lr, bc1, bc2,
+                           C, D, b1, b2, eps)
+
+    return jax.lax.cond(ok, do_pallas, do_xla, (p128, m128, v128))

@@ -40,6 +40,7 @@ from .optimizer import (
     sgd_update,
 )
 from .sparse_adam import segment_by_row, sparse_adam_level
+from ..ops import adam_kernel
 
 
 @dataclasses.dataclass(frozen=True)
@@ -479,13 +480,43 @@ def train_chunk(
                 lambda _: 0.0, lr_scale_tree[grp]
             )
 
-    # resolve the feature-update mode: sparse/fused need Adam; the lazy
-    # sparse path cannot express the consistency loss's off-batch lookups
+    # resolve the feature-update mode: sparse/fused/pallas need Adam; the
+    # lazy sparse path cannot express the consistency loss's off-batch
+    # lookups; the pallas kernel takes sparse entries only, so the dense
+    # continual-reg gradient field routes to the fused XLA formulation
     mode = s.feature_update if s.opt_adam else "dense"
     if mode == "sparse" and s.consistency_loss_on:
         mode = "dense"
-    if mode not in ("dense", "sparse", "fused"):
+    if mode == "pallas" and (
+        s.continual_reg_on
+        or not all(
+            adam_kernel.packable(f.shape[0], f.shape[1])
+            for f in params["features"]
+        )
+    ):
+        mode = "fused"
+    if mode == "pallas" and batch_sharding is not None:
+        # multi-chip partitioning of the pallas custom-call is future work;
+        # the fused XLA formulation shards today
+        mode = "fused"
+    if mode not in ("dense", "sparse", "fused", "pallas"):
         raise ValueError(f"unknown feature_update {s.feature_update!r}")
+    use_pallas_kernel = adam_kernel.on_tpu()
+
+    feat_shapes = tuple(f.shape for f in params["features"])
+    if mode == "pallas":
+        # pack the tables to (R,128) for the WHOLE scan — a (C,D)-shaped
+        # carry forces layout copies around the pallas custom-call
+        # (22 ms/level vs 3.1; see ops/adam_kernel.py docstring)
+        def pack_feats(t):
+            return tuple(f.reshape(-1, 128) for f in t)
+
+        params = dict(params, features=pack_feats(params["features"]))
+        opt_state = OptState(
+            m=dict(opt_state.m, features=pack_feats(opt_state.m["features"])),
+            v=dict(opt_state.v, features=pack_feats(opt_state.v["features"])),
+            step=opt_state.step,
+        )
 
     def sample_batch(k_idx):
         if s.ray_loss:
@@ -625,13 +656,19 @@ def train_chunk(
         batch = sample_batch(k_idx)
         coords = batch["coord"]
 
+        def feats_view(i):
+            # pallas mode carries the tables packed (R,128); the (C,D) view
+            # for gathers is a free reshape inside the same jit
+            f = params["features"][i]
+            return f.reshape(feat_shapes[i]) if mode == "pallas" else f
+
         def lookups(c):
             corners, found, G = [], [], []
             for i, level in enumerate(s.levels):
                 c_i, f_i = lookup_level(tables[i], c, level)
                 corners.append(c_i)
                 found.append(f_i)
-                G.append(params["features"][i][c_i])
+                G.append(feats_view(i)[c_i])
             return corners, found, G
 
         corners, found, G_list = lookups(coords)
@@ -679,6 +716,33 @@ def train_chunk(
         bc2 = 1.0 - 0.99 ** t
         new_feats, new_m, new_v = [], [], []
         reg_total = jnp.zeros((), jnp.float32)
+        if mode == "pallas":
+            for i in range(len(s.levels)):
+                C_i, D_i = feat_shapes[i]
+                rows = corners[i].reshape(-1)
+                g = g_G[i].reshape(-1, D_i)
+                if s.consistency_loss_on:
+                    rows = jnp.concatenate([rows, fac["near_corners"][i].reshape(-1)])
+                    g = jnp.concatenate([g, g_Gn[i].reshape(-1, D_i)])
+                level_lr = lr * (s.lr_level_reduce_ratio ** i)
+                f_n, m_n, v_n = adam_kernel.fused_adam_packed(
+                    params["features"][i],
+                    opt_state.m["features"][i],
+                    opt_state.v["features"][i],
+                    rows, g, level_lr, bc1, bc2, C_i, D_i,
+                    eps=s.adam_eps, use_pallas=use_pallas_kernel,
+                )
+                new_feats.append(f_n)
+                new_m.append(m_n)
+                new_v.append(v_n)
+            params = dict(new_dense)
+            params["features"] = tuple(new_feats)
+            opt_state = OptState(
+                m=dict(dense_state.m, features=tuple(new_m)),
+                v=dict(dense_state.v, features=tuple(new_v)),
+                step=dense_state.step,
+            )
+            return (params, opt_state, key), aux
         for i in range(len(s.levels)):
             feats_i = params["features"][i]
             gd = jnp.zeros_like(feats_i).at[corners[i]].add(g_G[i])
@@ -718,7 +782,7 @@ def train_chunk(
         )
         return (params, opt_state, key), aux
 
-    if mode == "fused":
+    if mode in ("fused", "pallas"):
         body = body_fused
     elif mode == "sparse":
         body = body_sparse
@@ -728,6 +792,16 @@ def train_chunk(
     (params, opt_state, _), aux_hist = jax.lax.scan(
         body, (params, opt_state, key), jnp.arange(n_iters)
     )
+    if mode == "pallas":  # unpack back to the public (C, D) layout
+        def unpack_feats(t):
+            return tuple(f.reshape(sh) for f, sh in zip(t, feat_shapes))
+
+        params = dict(params, features=unpack_feats(params["features"]))
+        opt_state = OptState(
+            m=dict(opt_state.m, features=unpack_feats(opt_state.m["features"])),
+            v=dict(opt_state.v, features=unpack_feats(opt_state.v["features"])),
+            step=opt_state.step,
+        )
     aux_mean = jax.tree_util.tree_map(lambda a: jnp.mean(a), aux_hist)
     aux_last = jax.tree_util.tree_map(lambda a: a[-1], aux_hist)
     return params, opt_state, {"mean": aux_mean, "last": aux_last}

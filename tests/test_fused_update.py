@@ -78,6 +78,82 @@ def test_fused_consistency_loss_trains_finite_and_scatters_near_rows():
         assert np.all(np.asarray(f[-1]) == 0)
 
 
+def test_pallas_mode_matches_fused_exactly():
+    """feature_update='pallas' (packed-carry path; XLA-twin kernel on CPU)
+    must reproduce the fused path bit-for-bit-ish — same dense-Adam math,
+    different table layout."""
+    pool, surf = make_sphere_pool(1500, seed=9)
+    cfg = default_cfg(bs=1024)
+    grid, settings_p, params, _, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="pallas", ekional_loss_on=True
+    )
+    settings_f = trainer.TrainSettings.from_config(
+        cfg, grid.levels, sigma_sigmoid=0.05, feature_update="fused",
+        ekional_loss_on=True,
+    )
+    p_p, o_p, aux_p = _run(cfg, grid, settings_p, params, dev_pool, n_valid)
+    p_f, o_f, aux_f = _run(cfg, grid, settings_f, params, dev_pool, n_valid)
+    np.testing.assert_allclose(
+        float(aux_p["mean"]["total_loss"]), float(aux_f["mean"]["total_loss"]),
+        rtol=1e-6,
+    )
+    for i in range(len(p_p["features"])):
+        assert p_p["features"][i].shape == p_f["features"][i].shape
+        # the pallas path sorts entries before the scatter: duplicate-row
+        # adds reassociate, so allow float-addition-order noise
+        np.testing.assert_allclose(
+            np.asarray(p_p["features"][i]), np.asarray(p_f["features"][i]),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_p.m["features"][i]), np.asarray(o_f.m["features"][i]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+def test_pallas_mode_consistency_loss():
+    """Consistency entries are concatenated into the sparse update."""
+    pool, surf = make_sphere_pool(1000, seed=4)
+    cfg = default_cfg(bs=512)
+    grid, settings, params, _, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="pallas",
+        consistency_loss_on=True, consistency_count=64,
+    )
+    p2, _, aux = _run(cfg, grid, settings, params, dev_pool, n_valid, iters=3)
+    assert np.isfinite(float(aux["mean"]["total_loss"]))
+    for f in p2["features"]:
+        assert np.all(np.isfinite(np.asarray(f)))
+        assert np.all(np.asarray(f[-1]) == 0)  # trashbin untouched
+
+
+def test_adam_kernel_xla_twin_matches_scatter_reference():
+    """fused_adam_packed (XLA path) == scatter+adam on unpacked tables."""
+    from shine_mapping_tpu.ops import adam_kernel
+
+    rng = np.random.default_rng(0)
+    C, D, M = 1 << 12, 8, 4096
+    p = rng.normal(size=(C, D)).astype(np.float32)
+    m = rng.normal(size=(C, D)).astype(np.float32) * 0.1
+    v = np.abs(rng.normal(size=(C, D))).astype(np.float32) * 0.01
+    rows = rng.integers(0, C - 1, M).astype(np.int32)
+    grads = rng.normal(size=(M, D)).astype(np.float32)
+    lr, bc1, bc2 = jnp.float32(0.01), jnp.float32(0.5), jnp.float32(0.5)
+
+    p2, m2, v2 = adam_kernel.fused_adam_packed(
+        jnp.asarray(p.reshape(-1, 128)), jnp.asarray(m.reshape(-1, 128)),
+        jnp.asarray(v.reshape(-1, 128)), jnp.asarray(rows), jnp.asarray(grads),
+        lr, bc1, bc2, C, D, use_pallas=False,
+    )
+    gd = np.zeros((C, D), np.float32)
+    np.add.at(gd, rows, grads)
+    m_ref = 0.9 * m + 0.1 * gd
+    v_ref = 0.99 * v + 0.01 * gd * gd
+    p_ref = p - 0.01 * (m_ref / 0.5) / (np.sqrt(v_ref / 0.5) + 1e-15)
+    np.testing.assert_allclose(np.asarray(p2).reshape(C, D), p_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m2).reshape(C, D), m_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2).reshape(C, D), v_ref, atol=1e-5)
+
+
 def test_fused_continual_reg_matches_sparse_reg_value():
     """Fused and sparse continual-reg paths compute the same penalty on the
     same touched rows (model/feature_octree.py:246-255 semantics)."""
