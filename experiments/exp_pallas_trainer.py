@@ -1,0 +1,160 @@
+"""Bisect the pallas-in-trainer regression (184 ms/iter vs 3.1 ms/level).
+
+Variants (packed carry, one level, bench scale):
+  kernel     : kernel alone, precomputed sorted inputs (expect ~3.1)
+  prep       : + per-iter argsort/permute/g128/searchsorted prep
+  cond       : + the lax.cond overflow fallback
+  gatherview : + a (B,8) gather through the reshaped (C,8) view
+  full3      : all of it x 3 levels (the trainer's actual work)
+
+  timeout 1800 python experiments/exp_pallas_trainer.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/shine_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from shine_mapping_tpu.ops import adam_kernel
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed(fn, carry, env, label, n=50, reps=3):
+    @jax.jit
+    def chunk(carry, env):
+        def body(c, _):
+            return fn(c, env), 0.0
+        c, _ = jax.lax.scan(body, carry, None, length=n)
+        return c
+
+    c = carry
+    times = []
+    for rep in range(reps + 1):
+        t0 = time.perf_counter()
+        c = chunk(c, env)
+        _ = float(jax.tree_util.tree_leaves(c)[0].reshape(-1)[0])
+        t1 = time.perf_counter()
+        if rep:
+            times.append((t1 - t0) / n)
+    log(f"{label:11s}: {min(times)*1e3:8.3f} ms/iter")
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    C, D, M = 1 << 22, 8, 65536
+    B = 8192
+    PACK = 128 // D
+    R = C // PACK
+    tb, w = adam_kernel.choose_tiles(C, D, M)
+    log(f"tb={tb} w={w}")
+    rng = np.random.default_rng(0)
+    rows_np = rng.integers(0, C - 1, M).astype(np.int32)
+    rows_sorted = np.sort(rows_np)
+    grads_np = rng.normal(size=(M, D)).astype(np.float32)
+
+    p = jnp.asarray(rng.normal(size=(R, 128)).astype(np.float32))
+    m = jnp.zeros((R, 128), jnp.float32)
+    v = jnp.zeros((R, 128), jnp.float32)
+    lr = jnp.float32(1e-4)
+    bc = jnp.float32(0.5)
+
+    # precomputed kernel inputs (sorted)
+    prow = (rows_sorted // PACK).astype(np.int32)
+    Mpad = ((M + w - 1) // w) * w + w
+    prow_p = np.full((1, Mpad), -1, np.int32)
+    prow_p[0, :M] = prow
+    lane = np.arange(128)
+    mask = (lane[None, :] // D) == (rows_sorted % PACK)[:, None]
+    g128 = np.zeros((Mpad, 128), np.float32)
+    g128[:M] = np.where(mask, np.tile(grads_np, (1, PACK)), 0.0)
+    T = R // tb
+    wstart = np.searchsorted(prow, np.arange(T) * tb)
+    offs = np.minimum(wstart // w, Mpad // w - 2).astype(np.int32)
+
+    env = dict(
+        rows=jnp.asarray(rows_np), grads=jnp.asarray(grads_np),
+        prow_p=jnp.asarray(prow_p),
+        g_hi=jnp.asarray(g128).astype(jnp.bfloat16),
+        g_lo=(jnp.asarray(g128) - jnp.asarray(g128).astype(jnp.bfloat16).astype(jnp.float32)).astype(jnp.bfloat16),
+        offs=jnp.asarray(offs),
+        scal=jnp.array([1e-4, 0.5, 0.5, 0.0], jnp.float32),
+    )
+
+    def v_kernel(carry, env):
+        p, m, v = carry
+        return tuple(adam_kernel._pallas_update(
+            p, m, v, env["prow_p"], env["g_hi"], env["g_lo"], env["offs"],
+            env["scal"], tb, w, 0.9, 0.99, 1e-15,
+        ))
+
+    timed(v_kernel, (p, m, v), env, "kernel")
+
+    def prep(rows, grads):
+        order = jnp.argsort(rows)
+        hints = dict(unique_indices=True, mode="promise_in_bounds")
+        rows_s = rows.at[order].get(**hints)
+        grads_s = grads.at[order].get(**hints)
+        prow = (rows_s // PACK).astype(jnp.int32)
+        lane = jnp.arange(128, dtype=jnp.int32)
+        g_rep = jnp.tile(grads_s, (1, PACK))
+        mask = (lane[None, :] // D) == (rows_s % PACK)[:, None].astype(jnp.int32)
+        g128 = jnp.where(mask, g_rep, 0.0)
+        g_hi = g128.astype(jnp.bfloat16)
+        g_lo = (g128 - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        pad_g = jnp.zeros((Mpad - M, 128), jnp.bfloat16)
+        g_hi = jnp.concatenate([g_hi, pad_g], axis=0)
+        g_lo = jnp.concatenate([g_lo, pad_g], axis=0)
+        prow_p = jnp.full((1, Mpad), -1, jnp.int32).at[0, :M].set(prow)
+        bounds = jnp.arange(T + 1, dtype=jnp.int32) * tb
+        ws = jnp.searchsorted(prow, bounds).astype(jnp.int32)
+        offs = jnp.minimum(ws[:-1] // w, Mpad // w - 2).astype(jnp.int32)
+        ok = jnp.all(ws[1:] <= offs * w + 2 * w)
+        return prow_p, g_hi, g_lo, offs, ok
+
+    def v_prep(carry, env):
+        p, m, v = carry
+        prow_p, g_hi, g_lo, offs, ok = prep(env["rows"], env["grads"])
+        return tuple(adam_kernel._pallas_update(
+            p, m, v, prow_p, g_hi, g_lo, offs, env["scal"],
+            tb, w, 0.9, 0.99, 1e-15,
+        ))
+
+    timed(v_prep, (p, m, v), env, "prep")
+
+    def v_cond(carry, env):
+        p, m, v = carry
+        return tuple(adam_kernel.fused_adam_packed(
+            p, m, v, env["rows"], env["grads"], lr, bc, bc, C, D,
+            use_pallas=True,
+        ))
+
+    timed(v_cond, (p, m, v), env, "cond")
+
+    def v_gatherview(carry, env):
+        p, m, v = carry
+        fv = p.reshape(C, D)
+        idx = env["rows"][: B * 8].reshape(B, 8)
+        G = fv[idx]
+        g2 = env["grads"] + G.reshape(-1, D) * 1e-9
+        return tuple(adam_kernel.fused_adam_packed(
+            p, m, v, env["rows"], g2, lr, bc, bc, C, D, use_pallas=True,
+        ))
+
+    timed(v_gatherview, (p, m, v), env, "gatherview")
+
+
+if __name__ == "__main__":
+    main()

@@ -133,6 +133,22 @@ def _xla_update(p128, m128, v128, rows, grads, lr, bc1, bc2,
     return p.reshape(R, 128), m.reshape(R, 128), v.reshape(R, 128)
 
 
+def gather_rows_packed(p128: jnp.ndarray, rows: jnp.ndarray, D: int) -> jnp.ndarray:
+    """Gather (..., D) corner rows from a packed (R, 128) table.
+
+    Reshaping the packed table to (C, D) and gathering through the view
+    makes XLA materialize a layout copy of the whole table every iteration
+    (+7 ms/level at 4.2M corners — experiments/exp_pallas_trainer.py);
+    gathering whole 128-lane rows and selecting the D target lanes
+    in-register avoids it.
+    """
+    PACK = 128 // D
+    lanerows = p128[rows // PACK]  # (..., 128)
+    lane0 = (rows % PACK) * D
+    idx = lane0[..., None] + jnp.arange(D, dtype=rows.dtype)
+    return jnp.take_along_axis(lanerows, idx, axis=-1)
+
+
 def choose_tiles(C: int, D: int, M: int) -> Tuple[int, int]:
     """Static (tile rows, window block) sizes for the kernel."""
     R = C * D // 128

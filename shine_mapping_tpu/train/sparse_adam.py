@@ -69,6 +69,57 @@ def segment_by_row(
     return SegmentedGrads(rows=seg_key, grads=seg_sum, valid=valid)
 
 
+def sparse_adam_level_packed(
+    pmv: jnp.ndarray,
+    seg: SegmentedGrads,
+    lr: jnp.ndarray,
+    step_t: jnp.ndarray,
+    b1: float = 0.9,
+    b2: float = 0.99,
+    eps: float = 1e-15,
+    reg_lambda: float = 0.0,
+    importance: Optional[jnp.ndarray] = None,
+    last_frame: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lazy Adam on a PACKED (C, 3D) [p|m|v] table — ONE gather and ONE
+    scatter per level instead of three of each (the XLA scatter is
+    entry-bound, so packing p, m, v into a single row roughly divides the
+    dominant sparse-path cost by three; VERDICT round 1 item 1).
+
+    Same math as :func:`sparse_adam_level`; returns (pmv, reg_value).
+    """
+    D = seg.grads.shape[-1]
+    rows = seg.rows
+    hints = dict(indices_are_sorted=True, unique_indices=True, mode="promise_in_bounds")
+    rows_pmv = pmv.at[rows].get(**hints)  # (M, 3D)
+    p_rows = rows_pmv[:, :D]
+    m_rows = rows_pmv[:, D:2 * D]
+    v_rows = rows_pmv[:, 2 * D:]
+    g = seg.grads
+
+    reg_value = jnp.zeros((), pmv.dtype)
+    vmask = seg.valid[:, None].astype(pmv.dtype)
+    if reg_lambda > 0.0 and importance is not None and last_frame is not None:
+        imp = importance.at[rows].get(**hints)
+        diff = p_rows - last_frame.at[rows].get(**hints)
+        reg_value = jnp.sum(imp * diff * diff * vmask)
+        g = g + reg_lambda * 2.0 * imp * diff * vmask
+
+    t = step_t.astype(pmv.dtype)
+    bc1 = 1.0 - b1 ** t
+    bc2 = 1.0 - b2 ** t
+    m_new = b1 * m_rows + (1.0 - b1) * g
+    v_new = b2 * v_rows + (1.0 - b2) * g * g
+    update = lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
+
+    delta = jnp.concatenate(
+        [-update * vmask, (m_new - m_rows) * vmask, (v_new - v_rows) * vmask],
+        axis=1,
+    )
+    pmv = pmv.at[rows].add(delta, **hints)
+    return pmv, reg_value
+
+
 def sparse_adam_level(
     features: jnp.ndarray,
     m: jnp.ndarray,

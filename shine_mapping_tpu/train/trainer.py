@@ -39,7 +39,7 @@ from .optimizer import (
     make_group_trees,
     sgd_update,
 )
-from .sparse_adam import segment_by_row, sparse_adam_level
+from .sparse_adam import segment_by_row, sparse_adam_level_packed
 from ..ops import adam_kernel
 
 
@@ -517,6 +517,28 @@ def train_chunk(
             v=dict(opt_state.v, features=pack_feats(opt_state.v["features"])),
             step=opt_state.step,
         )
+    elif mode == "sparse":
+        # pack [p|m|v] side by side: one gather + one scatter per level
+        # per iteration instead of three (entry-bound scatters)
+        params = dict(
+            params,
+            features=tuple(
+                jnp.concatenate([f, mf, vf], axis=1)
+                for f, mf, vf in zip(
+                    params["features"],
+                    opt_state.m["features"],
+                    opt_state.v["features"],
+                )
+            ),
+        )
+        dummy = tuple(
+            jnp.zeros((1, 1), f.dtype) for f in opt_state.m["features"]
+        )
+        opt_state = OptState(
+            m=dict(opt_state.m, features=dummy),
+            v=dict(opt_state.v, features=dummy),
+            step=opt_state.step,
+        )
 
     def sample_batch(k_idx):
         if s.ray_loss:
@@ -562,11 +584,18 @@ def train_chunk(
         return (params, opt_state, key), aux
 
     def body_sparse(carry, it):
+        """Lazy Adam on the touched rows of a PACKED (C, 3D) [p|m|v] table.
+
+        The XLA scatter is entry-bound, so p, m, v are stored side by side
+        in one row: each level pays ONE gather and ONE scatter per
+        iteration instead of three of each (~3x cheaper dominant cost —
+        the round-1 packed-row measurement, BENCH_NOTES.md)."""
         params, opt_state, key = carry
         key, k_idx, k_loss = jax.random.split(key, 3)
         batch = sample_batch(k_idx)
         coords = batch["coord"]
 
+        D = feat_shapes[0][1]
         # structure lookups + row gathers (outside the diff region)
         corners = []
         found = []
@@ -575,7 +604,7 @@ def train_chunk(
             c_i, f_i = lookup_level(tables[i], coords, level)
             corners.append(c_i)
             found.append(f_i)
-            G_list.append(params["features"][i][c_i])
+            G_list.append(params["features"][i][c_i][..., :D])
 
         dense_params = {k: v for k, v in params.items() if k != "features"}
         fac = {"corners": corners, "found": found}
@@ -600,32 +629,26 @@ def train_chunk(
             b1=0.9, b2=0.99, eps=s.adam_eps,
         )
 
-        # lazy Adam on the touched feature rows per level
+        # lazy Adam on the touched feature rows per level — one packed RMW
         new_feats = []
-        new_m = []
-        new_v = []
         reg_total = jnp.zeros((), jnp.float32)
         for i in range(len(s.levels)):
-            feats_i = params["features"][i]
-            seg = segment_by_row(corners[i], g_G[i], feats_i.shape[0])
+            pmv_i = params["features"][i]
+            seg = segment_by_row(corners[i], g_G[i], feat_shapes[i][0])
             level_lr = lr * (s.lr_level_reduce_ratio ** i)
             if s.continual_reg_on:
-                f_i2, m_i2, v_i2, reg_i = sparse_adam_level(
-                    feats_i, opt_state.m["features"][i], opt_state.v["features"][i],
-                    seg, level_lr, dense_state.step, eps=s.adam_eps,
+                pmv_i, reg_i = sparse_adam_level_packed(
+                    pmv_i, seg, level_lr, dense_state.step, eps=s.adam_eps,
                     reg_lambda=s.lambda_forget,
                     importance=shadow["importance"][i],
                     last_frame=shadow["last_frame"][i],
                 )
                 reg_total = reg_total + reg_i
             else:
-                f_i2, m_i2, v_i2, _ = sparse_adam_level(
-                    feats_i, opt_state.m["features"][i], opt_state.v["features"][i],
-                    seg, level_lr, dense_state.step, eps=s.adam_eps,
+                pmv_i, _ = sparse_adam_level_packed(
+                    pmv_i, seg, level_lr, dense_state.step, eps=s.adam_eps,
                 )
-            new_feats.append(f_i2)
-            new_m.append(m_i2)
-            new_v.append(v_i2)
+            new_feats.append(pmv_i)
 
         if s.continual_reg_on:
             aux["reg_loss"] = reg_total
@@ -634,8 +657,8 @@ def train_chunk(
         params = dict(new_dense)
         params["features"] = tuple(new_feats)
         opt_state = OptState(
-            m=dict(dense_state.m, features=tuple(new_m)),
-            v=dict(dense_state.v, features=tuple(new_v)),
+            m=dict(dense_state.m, features=opt_state.m["features"]),
+            v=dict(dense_state.v, features=opt_state.v["features"]),
             step=dense_state.step,
         )
         return (params, opt_state, key), aux
@@ -656,11 +679,15 @@ def train_chunk(
         batch = sample_batch(k_idx)
         coords = batch["coord"]
 
-        def feats_view(i):
-            # pallas mode carries the tables packed (R,128); the (C,D) view
-            # for gathers is a free reshape inside the same jit
+        def gather_rows(i, c_i):
+            # pallas mode carries the tables packed (R,128): gather whole
+            # lane-rows and select lanes in-register — reshaping to (C,D)
+            # and gathering through the view makes XLA materialize a layout
+            # copy of the table every iteration (+7 ms/level)
             f = params["features"][i]
-            return f.reshape(feat_shapes[i]) if mode == "pallas" else f
+            if mode == "pallas":
+                return adam_kernel.gather_rows_packed(f, c_i, feat_shapes[i][1])
+            return f[c_i]
 
         def lookups(c):
             corners, found, G = [], [], []
@@ -668,7 +695,7 @@ def train_chunk(
                 c_i, f_i = lookup_level(tables[i], c, level)
                 corners.append(c_i)
                 found.append(f_i)
-                G.append(feats_view(i)[c_i])
+                G.append(gather_rows(i, c_i))
             return corners, found, G
 
         corners, found, G_list = lookups(coords)
@@ -800,6 +827,19 @@ def train_chunk(
         opt_state = OptState(
             m=dict(opt_state.m, features=unpack_feats(opt_state.m["features"])),
             v=dict(opt_state.v, features=unpack_feats(opt_state.v["features"])),
+            step=opt_state.step,
+        )
+    elif mode == "sparse":  # split [p|m|v] back apart
+        packed = params["features"]
+        Ds = [sh[1] for sh in feat_shapes]
+        params = dict(
+            params, features=tuple(p[:, :d] for p, d in zip(packed, Ds))
+        )
+        opt_state = OptState(
+            m=dict(opt_state.m,
+                   features=tuple(p[:, d:2 * d] for p, d in zip(packed, Ds))),
+            v=dict(opt_state.v,
+                   features=tuple(p[:, 2 * d:] for p, d in zip(packed, Ds))),
             step=opt_state.step,
         )
     aux_mean = jax.tree_util.tree_map(lambda a: jnp.mean(a), aux_hist)
