@@ -194,6 +194,16 @@ def fused_adam_packed(
     tb, w = choose_tiles(C, D, M)
     T = R // tb
 
+    # trashbin entries (missed lookups) all target row C-1 and would pile
+    # thousands of entries into the last tile, overflowing its window and
+    # forcing the slow fallback every iteration.  Their gradients are
+    # exactly zero by construction (found-masked interpolation weights), so
+    # spread them uniformly over the table and zero them defensively.
+    trash = rows == C - 1
+    spread = (jnp.arange(M, dtype=rows.dtype) * PACK) % (C - 1)
+    rows = jnp.where(trash, spread, rows)
+    grads = jnp.where(trash[:, None], 0.0, grads)
+
     order = jnp.argsort(rows)
     hints = dict(unique_indices=True, mode="promise_in_bounds")
     rows_s = rows.at[order].get(**hints)

@@ -439,11 +439,41 @@ def _gather_batch(pool, idx, s: TrainSettings):
     return batch
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("settings", "n_iters", "batch_sharding"),
-    donate_argnames=("params", "opt_state"),
-)
+def _resolve_mode(settings: TrainSettings, feat_shapes, batch_sharding) -> str:
+    """Pick the feature-update implementation for this configuration."""
+    s = settings
+    mode = s.feature_update if s.opt_adam else "dense"
+    if mode == "sparse" and s.consistency_loss_on:
+        mode = "dense"
+    if mode == "pallas" and (
+        s.continual_reg_on
+        or not all(adam_kernel.packable(C, D) for C, D in feat_shapes)
+    ):
+        mode = "fused"
+    if mode == "pallas" and batch_sharding is not None:
+        # multi-chip partitioning of the pallas custom-call is future work;
+        # the fused XLA formulation shards today
+        mode = "fused"
+    if mode not in ("dense", "sparse", "fused", "pallas"):
+        raise ValueError(f"unknown feature_update {settings.feature_update!r}")
+    return mode
+
+
+@functools.partial(jax.jit, donate_argnames=("feats",))
+def _pack_feats_jit(feats):
+    """(C,D) tables -> packed (C*D/128, 128), as a SEPARATE jit: the packed
+    arrays then enter the training jit as native-layout parameters.
+    Reshaping inside the training jit instead leaves the scan carry in the
+    (C,D)-derived layout and XLA relayouts around the pallas custom-call
+    EVERY iteration (48 ms/level vs 3.9 — experiments/exp_prep_bisect.py)."""
+    return tuple(f.reshape(-1, 128) for f in feats)
+
+
+@functools.partial(jax.jit, static_argnames=("shapes",), donate_argnames=("feats",))
+def _unpack_feats_jit(feats, shapes):
+    return tuple(f.reshape(sh) for f, sh in zip(feats, shapes))
+
+
 def train_chunk(
     params,
     opt_state: OptState,
@@ -469,6 +499,53 @@ def train_chunk(
     the forward/backward across chips and all-reduces the (replicated)
     parameter gradients over ICI.
     """
+    feat_shapes = tuple(tuple(f.shape) for f in params["features"])
+    mode = _resolve_mode(settings, feat_shapes, batch_sharding)
+    if mode == "pallas":
+        params = dict(params, features=_pack_feats_jit(params["features"]))
+        opt_state = OptState(
+            m=dict(opt_state.m, features=_pack_feats_jit(opt_state.m["features"])),
+            v=dict(opt_state.v, features=_pack_feats_jit(opt_state.v["features"])),
+            step=opt_state.step,
+        )
+    params, opt_state, aux = _train_chunk_impl(
+        params, opt_state, tables, pool, shadow, n_valid, start_iter, key,
+        settings, n_iters, batch_sharding, mode, feat_shapes,
+    )
+    if mode == "pallas":
+        params = dict(
+            params, features=_unpack_feats_jit(params["features"], feat_shapes)
+        )
+        opt_state = OptState(
+            m=dict(opt_state.m,
+                   features=_unpack_feats_jit(opt_state.m["features"], feat_shapes)),
+            v=dict(opt_state.v,
+                   features=_unpack_feats_jit(opt_state.v["features"], feat_shapes)),
+            step=opt_state.step,
+        )
+    return params, opt_state, aux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "n_iters", "batch_sharding", "mode", "feat_shapes"),
+    donate_argnames=("params", "opt_state"),
+)
+def _train_chunk_impl(
+    params,
+    opt_state: OptState,
+    tables: Tuple[LevelTable, ...],
+    pool: Dict[str, jnp.ndarray],
+    shadow: Dict[str, Any],
+    n_valid: jnp.ndarray,
+    start_iter: jnp.ndarray,
+    key: jax.Array,
+    settings: TrainSettings,
+    n_iters: int,
+    batch_sharding=None,
+    mode: str = "fused",
+    feat_shapes=(),
+):
     s = settings
     lr_scale_tree, wd_tree = make_group_trees(
         params, s.lr_level_reduce_ratio, s.weight_decay
@@ -480,44 +557,9 @@ def train_chunk(
                 lambda _: 0.0, lr_scale_tree[grp]
             )
 
-    # resolve the feature-update mode: sparse/fused/pallas need Adam; the
-    # lazy sparse path cannot express the consistency loss's off-batch
-    # lookups; the pallas kernel takes sparse entries only, so the dense
-    # continual-reg gradient field routes to the fused XLA formulation
-    mode = s.feature_update if s.opt_adam else "dense"
-    if mode == "sparse" and s.consistency_loss_on:
-        mode = "dense"
-    if mode == "pallas" and (
-        s.continual_reg_on
-        or not all(
-            adam_kernel.packable(f.shape[0], f.shape[1])
-            for f in params["features"]
-        )
-    ):
-        mode = "fused"
-    if mode == "pallas" and batch_sharding is not None:
-        # multi-chip partitioning of the pallas custom-call is future work;
-        # the fused XLA formulation shards today
-        mode = "fused"
-    if mode not in ("dense", "sparse", "fused", "pallas"):
-        raise ValueError(f"unknown feature_update {s.feature_update!r}")
     use_pallas_kernel = adam_kernel.on_tpu()
 
-    feat_shapes = tuple(f.shape for f in params["features"])
-    if mode == "pallas":
-        # pack the tables to (R,128) for the WHOLE scan — a (C,D)-shaped
-        # carry forces layout copies around the pallas custom-call
-        # (22 ms/level vs 3.1; see ops/adam_kernel.py docstring)
-        def pack_feats(t):
-            return tuple(f.reshape(-1, 128) for f in t)
-
-        params = dict(params, features=pack_feats(params["features"]))
-        opt_state = OptState(
-            m=dict(opt_state.m, features=pack_feats(opt_state.m["features"])),
-            v=dict(opt_state.v, features=pack_feats(opt_state.v["features"])),
-            step=opt_state.step,
-        )
-    elif mode == "sparse":
+    if mode == "sparse":
         # pack [p|m|v] side by side: one gather + one scatter per level
         # per iteration instead of three (entry-bound scatters)
         params = dict(
@@ -819,17 +861,7 @@ def train_chunk(
     (params, opt_state, _), aux_hist = jax.lax.scan(
         body, (params, opt_state, key), jnp.arange(n_iters)
     )
-    if mode == "pallas":  # unpack back to the public (C, D) layout
-        def unpack_feats(t):
-            return tuple(f.reshape(sh) for f, sh in zip(t, feat_shapes))
-
-        params = dict(params, features=unpack_feats(params["features"]))
-        opt_state = OptState(
-            m=dict(opt_state.m, features=unpack_feats(opt_state.m["features"])),
-            v=dict(opt_state.v, features=unpack_feats(opt_state.v["features"])),
-            step=opt_state.step,
-        )
-    elif mode == "sparse":  # split [p|m|v] back apart
+    if mode == "sparse":  # split [p|m|v] back apart
         packed = params["features"]
         Ds = [sh[1] for sh in feat_shapes]
         params = dict(
