@@ -9,9 +9,10 @@ time-consuming part").  Here the structure is *data, not objects*:
 
 per featured level ``l`` (bottom-up, index 0 = finest = ``max_level``):
 
-* ``key_a, key_b : uint32[S_l]``      open-addressing hash slots holding the
-  packed integer voxel coordinate of an octree *node* (key_a = x<<16|y,
-  key_b = z; empty slots have key_b == EMPTY).
+* ``keys : int32[S_l, 2]``            open-addressing hash slots holding the
+  packed integer voxel coordinate of an octree *node* per slot as an
+  interleaved (x<<16|y, z) pair (one contiguous gather per probe window;
+  empty slots have keys[:, 1] == EMPTY).
 * ``corner_idx   : int32[S_l, 8]``    feature-table rows of the node's 8
   corners (the values of the reference's ``nodes_lookup_tables``,
   model/feature_octree.py:162-166).
@@ -87,15 +88,28 @@ _H3 = np.uint32(3674653429)
 
 
 class LevelTable(NamedTuple):
-    """Device arrays for one featured level's node hash table."""
+    """Device arrays for one featured level's node hash table.
 
-    key_a: jnp.ndarray  # uint32[S]
-    key_b: jnp.ndarray  # uint32[S]
+    ``keys`` interleaves the two packed key words per slot ((x<<16|y, z)
+    bitcast to int32) so a lookup gathers ONE contiguous 8-byte pair per
+    probe slot: two separate (N, PROBE) word gathers cost 4x more than the
+    single (N, PROBE, 2) gather (experiments/exp_lookup.py: 10.5 -> 2.6 ms
+    per iteration over 3 levels at bench scale).
+    """
+
+    keys: jnp.ndarray  # int32[S, 2] — (key_a, key_b) bitcast
     corner_idx: jnp.ndarray  # int32[S, 8]
 
 
 def _hash_u32(x, y, z, mask):
     return ((x * _H1) ^ (y * _H2) ^ (z * _H3)) & mask
+
+
+def _interleave_keys(key_a: np.ndarray, key_b: np.ndarray) -> jnp.ndarray:
+    """Host (key_a, key_b) uint32 words -> device int32[S, 2] pairs."""
+    return jnp.asarray(
+        np.stack([key_a.view(np.int32), key_b.view(np.int32)], axis=1)
+    )
 
 
 def lookup_level(
@@ -117,7 +131,7 @@ def lookup_level(
     (model/feature_octree.py:199-218) without the per-iteration host sync.
     """
     q = quantize_points(coords, level).astype(jnp.uint32)
-    S = table.key_a.shape[0]
+    S = table.keys.shape[0]
     mask = jnp.uint32(S - 1)
     qa = (q[:, 0] << jnp.uint32(16)) | q[:, 1]
     qb = q[:, 2]
@@ -125,9 +139,10 @@ def lookup_level(
     # probe window of PROBE consecutive slots (wrapping)
     win = (h[:, None] + jnp.arange(PROBE, dtype=jnp.uint32)[None, :]) & mask
     win = win.astype(jnp.int32)
-    ka = table.key_a[win]  # (N, PROBE)
-    kb = table.key_b[win]
-    hit = (ka == qa[:, None]) & (kb == qb[:, None])
+    kk = table.keys[win]  # (N, PROBE, 2) — one contiguous gather
+    qa_i = jax.lax.bitcast_convert_type(qa, jnp.int32)
+    qb_i = jax.lax.bitcast_convert_type(qb, jnp.int32)
+    hit = (kk[:, :, 0] == qa_i[:, None]) & (kk[:, :, 1] == qb_i[:, None])
     found = jnp.any(hit, axis=1)
     slot = jnp.take_along_axis(win, jnp.argmax(hit, axis=1)[:, None], axis=1)[:, 0]
     corners = table.corner_idx[slot]  # (N, 8) — trashbin rows when not found
@@ -315,8 +330,7 @@ class HashGridHost:
         # device state
         self.tables: List[LevelTable] = [
             LevelTable(
-                key_a=jnp.asarray(hl.key_a),
-                key_b=jnp.asarray(hl.key_b),
+                keys=_interleave_keys(hl.key_a, hl.key_b),
                 corner_idx=jnp.asarray(hl.corner_idx),
             )
             for hl in self.host_levels
@@ -425,8 +439,7 @@ class HashGridHost:
             if grew_table:
                 hl._rebuild_table()
                 self.tables[li] = LevelTable(
-                    key_a=jnp.asarray(hl.key_a),
-                    key_b=jnp.asarray(hl.key_b),
+                    keys=_interleave_keys(hl.key_a, hl.key_b),
                     corner_idx=jnp.asarray(hl.corner_idx),
                 )
                 self.structure_version += 1
@@ -436,26 +449,26 @@ class HashGridHost:
                     hl.node_capacity *= 2
                     hl._rebuild_table()
                     self.tables[li] = LevelTable(
-                        key_a=jnp.asarray(hl.key_a),
-                        key_b=jnp.asarray(hl.key_b),
+                        keys=_interleave_keys(hl.key_a, hl.key_b),
                         corner_idx=jnp.asarray(hl.corner_idx),
                     )
                     self.structure_version += 1
                 else:
                     # incremental device scatter: only touched slots
-                    tb = np.asarray(self.tables[li].key_b)
+                    tb = np.asarray(self.tables[li].keys)[:, 1].view(np.uint32)
                     touched = np.nonzero(
                         (tb != hl.key_b) | (before_a != hl.key_a)
                     )[0].astype(np.int32)
                     t = self.tables[li]
-                    idx_j, ka_j, kb_j, ci_j = _pad_pow2(
-                        touched, hl.key_a[touched], hl.key_b[touched],
-                        hl.corner_idx[touched],
+                    pairs = np.stack(
+                        [hl.key_a[touched].view(np.int32),
+                         hl.key_b[touched].view(np.int32)], axis=1)
+                    idx_j, kab_j, ci_j = _pad_pow2(
+                        touched, pairs, hl.corner_idx[touched],
                     )
                     if idx_j is not None:
                         self.tables[li] = LevelTable(
-                            key_a=_scatter_set(t.key_a, idx_j, ka_j),
-                            key_b=_scatter_set(t.key_b, idx_j, kb_j),
+                            keys=_scatter_set(t.keys, idx_j, kab_j),
                             corner_idx=_scatter_set(t.corner_idx, idx_j, ci_j),
                         )
 
@@ -490,8 +503,7 @@ class HashGridHost:
         hl.corner_idx[hl.corner_idx >= hl.n_corners] = C - 1
         hl._rebuild_table()
         self.tables[li] = LevelTable(
-            key_a=jnp.asarray(hl.key_a),
-            key_b=jnp.asarray(hl.key_b),
+            keys=_interleave_keys(hl.key_a, hl.key_b),
             corner_idx=jnp.asarray(hl.corner_idx),
         )
         self.structure_version += 1
@@ -583,8 +595,7 @@ class HashGridHost:
                 hl.node_capacity *= 2
             hl._rebuild_table()
             g.tables[i] = LevelTable(
-                key_a=jnp.asarray(hl.key_a),
-                key_b=jnp.asarray(hl.key_b),
+                keys=_interleave_keys(hl.key_a, hl.key_b),
                 corner_idx=jnp.asarray(hl.corner_idx),
             )
             g.features[i] = jnp.asarray(feats)

@@ -92,8 +92,7 @@ def test_row_sharded_feature_tables_train():
     o_sh = init_opt_state(p_sh)
     tables_sh = tuple(
         type(t)(
-            key_a=jax.device_put(t.key_a, NamedSharding(mesh, P("data"))),
-            key_b=jax.device_put(t.key_b, NamedSharding(mesh, P("data"))),
+            keys=jax.device_put(t.keys, NamedSharding(mesh, P("data", None))),
             corner_idx=jax.device_put(t.corner_idx, rows),
         )
         for t in grid.tables
