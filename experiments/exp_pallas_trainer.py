@@ -155,6 +155,83 @@ def main():
 
     timed(v_gatherview, (p, m, v), env, "gatherview")
 
+    def v_gatherpacked(carry, env):
+        # the real trainer's formulation: lane-row gather (no reshape view)
+        # feeding the same p that the kernel updates
+        p, m, v = carry
+        idx = env["rows"][: B * 8].reshape(B, 8)
+        G = adam_kernel.gather_rows_packed(p, idx, D)
+        g2 = env["grads"] + G.reshape(-1, D) * 1e-9
+        return tuple(adam_kernel.fused_adam_packed(
+            p, m, v, env["rows"], g2, lr, bc, bc, C, D, use_pallas=True,
+        ))
+
+    timed(v_gatherpacked, (p, m, v), env, "gatherpacked")
+
+    def v_gathercopy(carry, env):
+        # explicit unpacked copy for the gather: pay a clean bandwidth-bound
+        # (C,D) materialization instead of whatever layout dance the fused
+        # gather forces
+        p, m, v = carry
+        pview = jax.lax.optimization_barrier(p).reshape(C, D)
+        idx = env["rows"][: B * 8].reshape(B, 8)
+        G = pview[idx]
+        g2 = env["grads"] + G.reshape(-1, D) * 1e-9
+        return tuple(adam_kernel.fused_adam_packed(
+            p, m, v, env["rows"], g2, lr, bc, bc, C, D, use_pallas=True,
+        ))
+
+    timed(v_gathercopy, (p, m, v), env, "gathercopy")
+
+    def v_gather_nocond(carry, env):
+        # tala gather + raw kernel, NO lax.cond: isolates whether the cond's
+        # XLA branch (reshape(C,D) + scatter) is what forces the per-iter
+        # relayout of p
+        p, m, v = carry
+        idx = env["rows"][: B * 8].reshape(B, 8)
+        G = adam_kernel.gather_rows_packed(p, idx, D)
+        g2h = env["g_hi"] + (jnp.sum(G) * 1e-12).astype(jnp.bfloat16)
+        return tuple(adam_kernel._pallas_update(
+            p, m, v, env["prow_p"], g2h, env["g_lo"], env["offs"],
+            env["scal"], tb, w, 0.9, 0.99, 1e-15,
+        ))
+
+    timed(v_gather_nocond, (p, m, v), env, "gather_nocond")
+
+    def packed_xla_update(p, m, v, prow, g128v, lr, bc1, bc2):
+        # fallback that never leaves the packed (R,128) world: scatter the
+        # pre-built lane-placed gradient rows at prow, then sweep
+        gd = jnp.zeros_like(p).at[prow].add(g128v)
+        m2 = 0.9 * m + 0.1 * gd
+        v2 = 0.99 * v + 0.01 * gd * gd
+        p2 = p - lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + 1e-15)
+        return p2, m2, v2
+
+    def v_gather_cond2(carry, env):
+        # tala gather + cond whose BOTH branches stay packed-(R,128)
+        p, m, v = carry
+        idx = env["rows"][: B * 8].reshape(B, 8)
+        G = adam_kernel.gather_rows_packed(p, idx, D)
+        g2h = env["g_hi"] + (jnp.sum(G) * 1e-12).astype(jnp.bfloat16)
+        ok = jnp.all(env["offs"] >= 0)
+
+        def do_p(args):
+            p, m, v = args
+            return tuple(adam_kernel._pallas_update(
+                p, m, v, env["prow_p"], g2h, env["g_lo"], env["offs"],
+                env["scal"], tb, w, 0.9, 0.99, 1e-15,
+            ))
+
+        def do_x(args):
+            p, m, v = args
+            g128v = (g2h.astype(jnp.float32) + env["g_lo"].astype(jnp.float32))
+            return packed_xla_update(
+                p, m, v, env["prow_p"][0], g128v, lr, bc, bc)
+
+        return jax.lax.cond(ok, do_p, do_x, (p, m, v))
+
+    timed(v_gather_cond2, (p, m, v), env, "gather_cond2")
+
 
 if __name__ == "__main__":
     main()

@@ -146,6 +146,9 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             table_sharding=cfg.table_sharding,
         )
         batch_sharding = pmesh.batch_sharded(dp_mesh)
+        if world == 1 and cfg.infer_bs % n_dev == 0:
+            # single-controller: meshing inference shards over the same mesh
+            mesher.dp_mesh = dp_mesh
         print(
             f"data-parallel over {n_dev} devices "
             f"(tables {cfg.table_sharding})"

@@ -124,6 +124,8 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
                 table_sharding=cfg.table_sharding,
             )
             batch_sharding = pmesh.batch_sharded(dp_mesh)
+            if world == 1 and cfg.infer_bs % n_dev == 0:
+                mesher.dp_mesh = dp_mesh
         key, k = jax.random.split(key)
         params, opt_state, aux = trainer.train_chunk(
             params, opt_state, tables, dev_pool, shadow,

@@ -61,7 +61,8 @@ def _infer_chunk(
 
 
 class Mesher:
-    def __init__(self, config: SHINEConfig, grid, geo_params, sem_params=None):
+    def __init__(self, config: SHINEConfig, grid, geo_params, sem_params=None,
+                 dp_mesh=None):
         self.config = config
         self.grid = grid  # HashGridHost
         self.geo_params = geo_params
@@ -69,6 +70,30 @@ class Mesher:
         self.world_scale = config.scale
         self.ts = 0  # query timestamp for time-conditioned maps
         self.global_transform = np.eye(4)
+        # optional jax.sharding.Mesh: shard each inference batch over the
+        # ``data`` axis (tables/features/decoders replicated) so meshing
+        # scales across chips like training does.  The reference meshes on
+        # the single training GPU (utils/mesher.py:33-108); the octree tiles
+        # here are embarrassingly parallel.  Single-controller only — in
+        # multi-host runs meshing stays process-local.
+        self.dp_mesh = dp_mesh
+        self._placed_key = None
+        self._placed = None  # mesh-replicated (tables, features)
+
+    def _mesh_sharded_inputs(self, tables, feats):
+        """Replicate grid state on the dp_mesh (cached per features build)."""
+        from .parallel.mesh import batch_sharded, replicated
+
+        repl = replicated(self.dp_mesh)
+        key = (self.grid.structure_version, tuple(id(f) for f in feats))
+        if self._placed_key != key:
+            self._placed = (
+                jax.device_put(tables, repl),
+                jax.device_put(feats, repl),
+            )
+            self._placed_key = key
+        tables, feats = self._placed
+        return tables, feats, batch_sharded(self.dp_mesh), repl
 
     # ------------------------------------------------------------------ queries
     def query_points(
@@ -91,6 +116,13 @@ class Mesher:
         mask_out = np.zeros(n, dtype=bool) if query_mask else None
         tables = tuple(self.grid.tables)
         feats = tuple(self.grid.features)
+        geo_params, sem_params = self.geo_params, self.sem_params
+        batch_sh = None
+        if self.dp_mesh is not None and bs % self.dp_mesh.size == 0:
+            tables, feats, batch_sh, repl = self._mesh_sharded_inputs(tables, feats)
+            geo_params = jax.device_put(geo_params, repl)
+            if sem_params is not None:
+                sem_params = jax.device_put(sem_params, repl)
         for k in range(iters):
             head, tail = k * bs, min((k + 1) * bs, n)
             chunk = coords[head:tail]
@@ -99,13 +131,17 @@ class Mesher:
                 chunk = np.concatenate(
                     [chunk, np.zeros((bs - m, 3), chunk.dtype)], axis=0
                 )
+            dev_chunk = jnp.asarray(chunk, jnp.float32)
             ts = jnp.full((bs,), float(self.ts), jnp.float32)
+            if batch_sh is not None:
+                dev_chunk = jax.device_put(dev_chunk, batch_sh)
+                ts = jax.device_put(ts, batch_sh)
             sdf, sem, mask = _infer_chunk(
-                self.geo_params,
-                self.sem_params if query_sem else self.geo_params,
+                geo_params,
+                sem_params if query_sem else geo_params,
                 feats,
                 tables,
-                jnp.asarray(chunk, jnp.float32),
+                dev_chunk,
                 ts,
                 tuple(self.grid.levels),
                 self.grid.polynomial_interpolation,

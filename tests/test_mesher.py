@@ -100,3 +100,28 @@ def test_remove_vertices_compacts():
     out = _remove_vertices(mesh, keep)
     assert out.vertices.shape[0] == 3
     np.testing.assert_array_equal(out.triangles, [[0, 1, 2]])
+
+
+def test_sharded_mesher_matches_single(sphere_setup):
+    """Inference with dp_mesh set shards each infer batch over the virtual
+    8-device mesh and must reproduce the single-device SDF/mask outputs
+    exactly (meshing consumes only these)."""
+    from shine_mapping_tpu.parallel.mesh import make_data_mesh
+
+    cfg, grid, geo, surf = sphere_setup
+    single = Mesher(cfg, grid, geo)
+    sharded = Mesher(cfg, grid, geo, dp_mesh=make_data_mesh(8))
+
+    rng = np.random.default_rng(3)
+    q = np.concatenate(
+        [surf[:500], rng.uniform(-1, 1, (700, 3)).astype(np.float32)]
+    )
+    # bs 256 divisible by 8; 1200 points exercises the padded tail chunk
+    sdf1, _, mask1 = single.query_points(q, bs=256)
+    sdf2, _, mask2 = sharded.query_points(q, bs=256)
+    np.testing.assert_array_equal(mask1, mask2)
+    np.testing.assert_allclose(sdf1, sdf2, atol=1e-6)
+    # second call reuses the cached mesh placement
+    assert sharded._placed_key is not None
+    sdf3, _, _ = sharded.query_points(q, bs=256)
+    np.testing.assert_allclose(sdf2, sdf3, atol=0)
