@@ -235,3 +235,155 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def main2():
+    """Round-3 gather-anomaly isolation (run after main)."""
+    log(f"devices: {jax.devices()}")
+    C, D, M = 1 << 22, 8, 65536
+    B = 8192
+    PACK = 128 // D
+    R = C // PACK
+    tb, w = adam_kernel.choose_tiles(C, D, M)
+    rng = np.random.default_rng(0)
+    rows_np = rng.integers(0, C - 1, M).astype(np.int32)
+    rows_sorted = np.sort(rows_np)
+    prow = (rows_sorted // PACK).astype(np.int32)
+    Mpad = ((M + w - 1) // w) * w + w
+    prow_p = np.full((1, Mpad), -1, np.int32)
+    prow_p[0, :M] = prow
+    g128 = np.zeros((Mpad, 128), np.float32)
+    T = R // tb
+    offs = np.minimum(
+        np.searchsorted(prow, np.arange(T) * tb) // w, Mpad // w - 2
+    ).astype(np.int32)
+    env = dict(
+        rows=jnp.asarray(rows_np),
+        prow_p=jnp.asarray(prow_p),
+        g_hi=jnp.asarray(g128).astype(jnp.bfloat16),
+        g_lo=jnp.asarray(g128).astype(jnp.bfloat16),
+        offs=jnp.asarray(offs),
+        scal=jnp.array([1e-4, 0.5, 0.5, 0.0], jnp.float32),
+    )
+    p = jnp.zeros((R, 128), jnp.float32)
+    m = jnp.zeros((R, 128), jnp.float32)
+    v = jnp.zeros((R, 128), jnp.float32)
+
+    def v_gather_nodep(carry, env):
+        # gather result does NOT feed the kernel: if this is fast, the slow
+        # part is the dependency/hazard, not the gather op itself
+        p, m, v, acc = carry
+        idx = env["rows"][: B * 8].reshape(B, 8)
+        G = adam_kernel.gather_rows_packed(p, idx, D)
+        out = adam_kernel._pallas_update(
+            p, m, v, env["prow_p"], env["g_hi"], env["g_lo"], env["offs"],
+            env["scal"], tb, w, 0.9, 0.99, 1e-15,
+        )
+        return (*out, acc + jnp.sum(G)), None
+
+    def timed2(fn, carry, env, label, n=50, reps=3):
+        @jax.jit
+        def chunk(carry, env):
+            def body(c, _):
+                return fn(c, env)
+            c, _ = jax.lax.scan(body, carry, None, length=n)
+            return c
+        c = carry
+        times = []
+        for rep in range(reps + 1):
+            t0 = time.perf_counter()
+            c = chunk(c, env)
+            _ = float(jax.tree_util.tree_leaves(c)[0].reshape(-1)[0])
+            t1 = time.perf_counter()
+            if rep:
+                times.append((t1 - t0) / n)
+        log(f"{label:14s}: {min(times)*1e3:8.3f} ms/iter")
+
+    timed2(v_gather_nodep, (p, m, v, jnp.float32(0)), env, "gather_nodep")
+
+    # kernel variant that ALSO emits a separate copy of the updated p for
+    # the next iteration's gather to read (breaks the in-place hazard)
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def _kernel4(offs_ref, scal_ref, p_ref, m_ref, v_ref,
+                 prow0_ref, prow1_ref, g0h_ref, g0l_ref, g1h_ref, g1l_ref,
+                 po_ref, mo_ref, vo_ref, pc_ref, *, tb, w, b1, b2, eps,
+                 copy_dtype):
+        t = pl.program_id(0)
+        lr = scal_ref[0]
+        bc1 = scal_ref[1]
+        bc2 = scal_ref[2]
+        s_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, w), 0) + t * tb
+        A0 = (prow0_ref[:] == s_ids).astype(jnp.bfloat16)
+        A1 = (prow1_ref[:] == s_ids).astype(jnp.bfloat16)
+        gtile = (
+            jnp.dot(A0, g0h_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(A0, g0l_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(A1, g1h_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(A1, g1l_ref[:], preferred_element_type=jnp.float32)
+        )
+        m_new = b1 * m_ref[:] + (1.0 - b1) * gtile
+        v_new = b2 * v_ref[:] + (1.0 - b2) * gtile * gtile
+        p_new = p_ref[:] - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
+        po_ref[:] = p_new
+        mo_ref[:] = m_new
+        vo_ref[:] = v_new
+        pc_ref[:] = p_new.astype(copy_dtype)
+
+    def pallas4(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal, copy_dtype):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+                pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+                pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+                pl.BlockSpec((1, w), lambda t, offs, scal: (0, offs[t])),
+                pl.BlockSpec((1, w), lambda t, offs, scal: (0, offs[t] + 1)),
+                pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t], 0)),
+                pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t], 0)),
+                pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t] + 1, 0)),
+                pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t] + 1, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+                pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+                pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+                pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel4, tb=tb, w=w, b1=0.9, b2=0.99,
+                              eps=1e-15, copy_dtype=copy_dtype),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((R, 128), copy_dtype)],
+            input_output_aliases={2: 0, 3: 1, 4: 2},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(offs, scal, p128, m128, v128, prow_p, prow_p, g_hi, g_lo, g_hi, g_lo)
+
+    for dt, name in ((jnp.float32, "pcopy_f32"), (jnp.bfloat16, "pcopy_bf16")):
+        pc0 = jnp.zeros((R, 128), dt)
+
+        def v_pcopy(carry, env, dt=dt):
+            p, m, v, pc = carry
+            idx = env["rows"][: B * 8].reshape(B, 8)
+            G = adam_kernel.gather_rows_packed(pc, idx, D)  # reads the COPY
+            g2h = env["g_hi"] + (jnp.sum(G) * 1e-12).astype(jnp.bfloat16)
+            out = pallas4(p, m, v, env["prow_p"], g2h, env["g_lo"],
+                          env["offs"], env["scal"], dt)
+            return tuple(out), None
+
+        timed2(v_pcopy, (p, m, v, pc0), env, name)
+
+
+if __name__ == "__main__":
+    import sys as _s
+    if "--round3" in _s.argv:
+        main2()
+    else:
+        main()

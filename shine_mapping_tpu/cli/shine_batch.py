@@ -77,7 +77,13 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     print("Load, preprocess and sample data")
     timer = PhaseTimer()
     with timer.phase("data"):
-        if cfg.num_workers > 1:
+        if world > 1 and cfg.shard_ingest:
+            # shard preprocessing across processes; every process
+            # integrates all frames (bit-identical to single-process)
+            from ..parallel.ingest import process_frames_multihost
+
+            process_frames_multihost(dataset, dataset.frame_ids(), rank, world)
+        elif cfg.num_workers > 1:
             dataset.process_frames_pipelined(dataset.frame_ids(), cfg.num_workers)
         else:
             for frame_id in dataset.frame_ids():

@@ -199,6 +199,10 @@ class SHINEConfig:
     # or "rows" (row-sharded tables for city-scale maps; lookups gather
     # cross-chip, gradients reduce-scatter)
     table_sharding: str = "replicated"
+    # multi-host only: shard the data phase (I/O + preprocessing + sampling)
+    # round-robin across processes, all-gathering per-frame products so every
+    # process integrates all frames (bit-identical to single-process ingest)
+    shard_ingest: bool = True
     # feature-table optimizer formulation: "fused" (explicit scatter fused
     # into the dense Adam sweep; reference-exact semantics, fastest on-chip),
     # "sparse" (lazy touched-rows Adam; map-size-independent, compact
@@ -318,6 +322,7 @@ class SHINEConfig:
         self.num_processes = opt("tpu", "num_processes", self.num_processes)
         self.process_id = opt("tpu", "process_id", self.process_id)
         self.table_sharding = opt("tpu", "table_sharding", self.table_sharding)
+        self.shard_ingest = opt("tpu", "shard_ingest", self.shard_ingest)
         self.init_node_capacity = opt("tpu", "init_node_capacity", self.init_node_capacity)
         self.init_corner_capacity = opt("tpu", "init_corner_capacity", self.init_corner_capacity)
         self.init_pool_capacity = opt("tpu", "init_pool_capacity", self.init_pool_capacity)

@@ -112,6 +112,12 @@ def _pallas_update(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
         functools.partial(_kernel, tb=tb, w=w, b1=b1, b2=b2, eps=eps),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)] * 3,
+        # update p/m/v IN PLACE: without aliasing, any other consumer of the
+        # tables in the same scan body (the forward corner gather) makes XLA
+        # copy all three full tables back into the loop carry every
+        # iteration — 3 x 134 MB at bench scale, +4.4 ms/level (HLO:
+        # experiments/exp_hlo_gather.py; fix measured in exp_pallas_trainer)
+        input_output_aliases={2: 0, 3: 1, 4: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -288,3 +288,59 @@ def test_sampler_behind_dropoff():
     if behind.any():
         assert np.max(np.abs(w[behind])) < 0.3
     assert np.all(np.abs(w[front]) == 1.0)
+
+
+def test_sharded_ingest_bit_identical(tmp_path):
+    """process_frames_multihost (world=1 degenerate: full pack -> allgather
+    -> unpack -> integrate path) produces a pool and octree bit-identical to
+    the pipelined data phase."""
+    from tests import synth
+    from shine_mapping_tpu.config import SHINEConfig
+    from shine_mapping_tpu.data.dataset import LiDARDataset
+    from shine_mapping_tpu.ops.hashgrid import HashGridHost
+    from shine_mapping_tpu.parallel.ingest import process_frames_multihost
+
+    root = str(tmp_path / "world")
+    synth.make_kitti_dataset(root, n_frames=3)
+
+    def build(cfg_mut=None):
+        cfg = SHINEConfig()
+        cfg.pc_path = root + "/velodyne"
+        cfg.pose_path = root + "/poses.txt"
+        cfg.calib_path = root + "/calib.txt"
+        cfg.begin_frame, cfg.end_frame, cfg.every_frame = 0, 2, 1
+        cfg.pc_radius, cfg.min_range, cfg.min_z = 20.0, 0.5, -3.0
+        cfg.vox_down_m = 0.12
+        cfg.tree_level_world, cfg.tree_level_feat = 9, 3
+        cfg.leaf_vox_size = 0.5
+        cfg.surface_sample_n, cfg.free_sample_n = 3, 2
+        cfg.estimate_normal = False
+        cfg.derive()
+        grid = HashGridHost(
+            max_level=cfg.tree_level_world,
+            featured_level_num=cfg.tree_level_feat,
+            feature_dim=cfg.feature_dim, feature_std=cfg.feature_std,
+            seed=0, init_node_capacity=1 << 13,
+            init_corner_capacity=1 << 13,
+        )
+        return cfg, grid, LiDARDataset(cfg, grid)
+
+    _, g1, d1 = build()
+    d1.process_frames_pipelined(d1.frame_ids(), workers=2)
+    _, g2, d2 = build()
+    n = process_frames_multihost(d2, d2.frame_ids(), rank=0, world=1)
+
+    assert n == len(d2.pool) == len(d1.pool)
+    np.testing.assert_array_equal(d1.pool.coord, d2.pool.coord)
+    np.testing.assert_array_equal(d1.pool.sdf_label, d2.pool.sdf_label)
+    np.testing.assert_array_equal(d1.pool.weight, d2.pool.weight)
+    np.testing.assert_array_equal(d1.pool.sample_depth, d2.pool.sample_depth)
+    np.testing.assert_array_equal(d1.pool.ray_depth, d2.pool.ray_depth)
+    np.testing.assert_array_equal(
+        d1.map_down_pc.points, d2.map_down_pc.points
+    )
+    # identical octree growth
+    for hl1, hl2 in zip(g1.host_levels, g2.host_levels):
+        assert hl1.n_nodes == hl2.n_nodes
+        np.testing.assert_array_equal(hl1.key_a, hl2.key_a)
+        np.testing.assert_array_equal(hl1.corner_idx, hl2.corner_idx)
