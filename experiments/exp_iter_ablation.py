@@ -241,5 +241,201 @@ def main():
           env, label="featfresh")
 
 
+
+
+def main_pallas():
+    """Ablate the PALLAS (packed-table) path at bench scale."""
+    log(f"devices: {jax.devices()}")
+    cfg = SHINEConfig()
+    cfg.tree_level_world = 12
+    cfg.tree_level_feat = 3
+    cfg.leaf_vox_size = 0.2
+    cfg.bs = 8192
+    cfg.lr = 0.01
+    cfg.derive()
+
+    from shine_mapping_tpu.ops import adam_kernel
+
+    rng = np.random.default_rng(0)
+    n_surf = 400_000
+    xy = rng.uniform(-0.9, 0.9, (n_surf, 2))
+    z = 0.08 * np.sin(4 * xy[:, 0]) * np.cos(3 * xy[:, 1])
+    surf = np.stack([xy[:, 0], xy[:, 1], z], axis=1)
+    band = surf + rng.normal(0, 0.003, surf.shape)
+    grid = HashGridHost(
+        max_level=cfg.tree_level_world, featured_level_num=cfg.tree_level_feat,
+        feature_dim=cfg.feature_dim, feature_std=cfg.feature_std, seed=0,
+        init_node_capacity=1 << 19, init_corner_capacity=1 << 19,
+    )
+    grid.update(band)
+    n_pool = 2_000_000
+    coord = np.repeat(band, 5, axis=0)[:n_pool].astype(np.float32)
+    coord += rng.normal(0, 0.01, coord.shape).astype(np.float32)
+    sdf = rng.normal(0, 0.01, n_pool).astype(np.float32)
+    weight = np.where(rng.random(n_pool) < 0.7, 1.0, -1.0).astype(np.float32)
+    pool = SamplePool(
+        coord=coord, sdf_label=sdf, weight=weight,
+        sample_depth=np.zeros(n_pool, np.float32),
+        ray_depth=np.zeros(n_pool // 7 + 1, np.float32),
+        origin=np.zeros((n_pool, 3), np.float32),
+        time=np.zeros(n_pool, np.float32),
+    )
+    s = trainer.TrainSettings.from_config(cfg, grid.levels)
+    dev_pool, n_valid = trainer.pool_to_device(pool, 1 << 21, s)
+    tables = tuple(grid.tables)
+    params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
+    levels = s.levels
+    feat_shapes = [tuple(f.shape) for f in params["features"]]
+    packed = tuple(jnp.asarray(np.asarray(f).reshape(-1, 128))
+                   for f in params["features"])
+    zerosP = tuple(jnp.zeros_like(p) for p in packed)
+    geo0 = params["geo"]
+    env = dict(tables=tables, pool=dev_pool, geo=geo0)
+
+    def sample(k_idx, env):
+        idx = jax.random.randint(k_idx, (s.bs,), 0, n_valid)
+        return {
+            "coord": env["pool"]["coord"][idx],
+            "sdf_label": env["pool"]["sdf_label"][idx],
+            "weight": env["pool"]["weight"][idx],
+        }
+
+    def v_pk_gather(carry, env):
+        key, pk, acc = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        tot = jnp.float32(0)
+        for i, lvl in enumerate(levels):
+            c_i, f_i = lookup_level(env["tables"][i], b["coord"], lvl)
+            G = adam_kernel.gather_rows_packed(pk[i], c_i, feat_shapes[i][1])
+            tot = tot + jnp.sum(G)
+        return key, pk, acc + tot
+
+    timed(v_pk_gather, (jax.random.PRNGKey(0), packed, jnp.float32(0)), env,
+          label="pk_gather")
+
+    def v_pk_rawgather(carry, env):
+        # lane-row fetch only, no take_along_axis lane select
+        key, pk, acc = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        tot = jnp.float32(0)
+        for i, lvl in enumerate(levels):
+            c_i, f_i = lookup_level(env["tables"][i], b["coord"], lvl)
+            lanerows = pk[i][c_i // 16]
+            tot = tot + jnp.sum(lanerows)
+        return key, pk, acc + tot
+
+    timed(v_pk_rawgather, (jax.random.PRNGKey(0), packed, jnp.float32(0)),
+          env, label="pk_rawgather")
+
+    def v_pk_gather_seq(carry, env):
+        # same volume, SEQUENTIAL indices: HBM-locality upper bound
+        key, pk, acc = carry
+        key, k = jax.random.split(key)
+        idx0 = jax.random.randint(k, (1,), 0, 1024)
+        tot = jnp.float32(0)
+        for i in range(3):
+            rows = (jnp.arange(s.bs * 8, dtype=jnp.int32) + idx0[0]).reshape(
+                s.bs, 8)
+            lanerows = pk[i][rows // 16]
+            tot = tot + jnp.sum(lanerows)
+        return key, pk, acc + tot
+
+    timed(v_pk_gather_seq, (jax.random.PRNGKey(0), packed, jnp.float32(0)),
+          env, label="pk_gather_seq")
+
+    def v_pk_maskedsum(carry, env):
+        # lane select via reshape+mask+sum instead of take_along_axis
+        key, pk, acc = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        tot = jnp.float32(0)
+        for i, lvl in enumerate(levels):
+            c_i, f_i = lookup_level(env["tables"][i], b["coord"], lvl)
+            lanerows = pk[i][c_i // 16]  # (B,8,128)
+            sub = lanerows.reshape(s.bs, 8, 16, 8)
+            sel = ((c_i % 16)[..., None]
+                   == jnp.arange(16, dtype=c_i.dtype)).astype(lanerows.dtype)
+            G = jnp.einsum("bckd,bck->bcd", sub, sel)
+            tot = tot + jnp.sum(G)
+        return key, pk, acc + tot
+
+    timed(v_pk_maskedsum, (jax.random.PRNGKey(0), packed, jnp.float32(0)),
+          env, label="pk_maskedsum")
+
+    def v_narrowgather(carry, env):
+        # reference point: the fused path's native (C,8) gather, same batch
+        key, nf, acc = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        tot = jnp.float32(0)
+        for i, lvl in enumerate(levels):
+            c_i, f_i = lookup_level(env["tables"][i], b["coord"], lvl)
+            tot = tot + jnp.sum(nf[i][c_i])
+        return key, nf, acc + tot
+
+    nfeats = tuple(params["features"])
+    timed(v_narrowgather, (jax.random.PRNGKey(0), nfeats, jnp.float32(0)),
+          env, label="narrowgather")
+
+    def fwd_loss(G_list, b, found, env):
+        f = None
+        for i, lvl in enumerate(levels):
+            w = corner_weights(b["coord"], lvl, s.poly_int_on)
+            w = jnp.where(found[i][:, None], w, 0.0)
+            c = jnp.einsum("nc,ncd->nd", w, G_list[i])
+            f = c if f is None else f + c
+        pred = decoder.sdf(env["geo"], f)
+        return losses.sdf_bce_loss(pred, b["sdf_label"], s.sigma_sigmoid,
+                                   jnp.abs(b["weight"]), s.loss_weight_on,
+                                   s.loss_reduction)
+
+    def v_pk_grad(carry, env):
+        key, pk, acc = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        found, G, corners = [], [], []
+        for i, lvl in enumerate(levels):
+            c_i, f_i = lookup_level(env["tables"][i], b["coord"], lvl)
+            found.append(f_i)
+            corners.append(c_i)
+            G.append(adam_kernel.gather_rows_packed(pk[i], c_i, feat_shapes[i][1]))
+        loss, g_G = jax.value_and_grad(fwd_loss)(G, b, found, env)
+        return key, pk, acc + loss + g_G[0][0, 0, 0]
+
+    timed(v_pk_grad, (jax.random.PRNGKey(0), packed, jnp.float32(0)), env,
+          label="pk_grad")
+
+    def v_pk_full(carry, env):
+        key, pk, m, v, acc = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        found, G, corners = [], [], []
+        for i, lvl in enumerate(levels):
+            c_i, f_i = lookup_level(env["tables"][i], b["coord"], lvl)
+            found.append(f_i)
+            corners.append(c_i)
+            G.append(adam_kernel.gather_rows_packed(pk[i], c_i, feat_shapes[i][1]))
+        loss, g_G = jax.value_and_grad(fwd_loss)(G, b, found, env)
+        new_p, new_m, new_v = [], [], []
+        for i in range(3):
+            C_i, D_i = feat_shapes[i]
+            p_n, m_n, v_n = adam_kernel.fused_adam_packed(
+                pk[i], m[i], v[i], corners[i].reshape(-1),
+                g_G[i].reshape(-1, D_i), jnp.float32(0.01), jnp.float32(0.5),
+                jnp.float32(0.5), C_i, D_i, use_pallas=True,
+            )
+            new_p.append(p_n); new_m.append(m_n); new_v.append(v_n)
+        return key, tuple(new_p), tuple(new_m), tuple(new_v), acc + loss
+
+    timed(v_pk_full, (jax.random.PRNGKey(0), packed, zerosP, zerosP,
+                      jnp.float32(0)), env, label="pk_full")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    if "--pallas" in _s.argv:
+        main_pallas()
+    else:
+        main()
