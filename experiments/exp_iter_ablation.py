@@ -379,6 +379,77 @@ def main_pallas():
     timed(v_narrowgather, (jax.random.PRNGKey(0), nfeats, jnp.float32(0)),
           env, label="narrowgather")
 
+    lanegrp = jnp.arange(128, dtype=jnp.int32) // 8  # lane -> slot id
+
+    def lanefold_feat(pk_i, c_i, f_i, w):
+        # feat contribution of one level WITHOUT extracting (B,8,D):
+        # gather whole 512B lane-rows, mask the 8 target lanes per corner,
+        # weight, reduce corners, then fold the 16 lane slots down to D
+        lanerows = pk_i[c_i // 16]                      # (B,8,128)
+        sel = (lanegrp[None, None, :] == (c_i % 16)[:, :, None])
+        w_masked = jnp.where(sel, w[:, :, None], 0.0)   # (B,8,128)
+        f128 = jnp.einsum("bcl,bcl->bl", w_masked, lanerows)  # (B,128)
+        return f128.reshape(-1, 16, 8).sum(axis=1)      # (B,8)
+
+    def fwd_loss_lanefold(pk, b, found_w, corners, env):
+        f = None
+        for i in range(3):
+            c = lanefold_feat(pk[i], corners[i], None, found_w[i])
+            f = c if f is None else f + c
+        pred = decoder.sdf(env["geo"], f)
+        return losses.sdf_bce_loss(pred, b["sdf_label"], s.sigma_sigmoid,
+                                   jnp.abs(b["weight"]), s.loss_weight_on,
+                                   s.loss_reduction)
+
+    def v_pk_lanefold(carry, env):
+        key, pk, acc = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        found_w, corners = [], []
+        for i, lvl in enumerate(levels):
+            c_i, f_i = lookup_level(env["tables"][i], b["coord"], lvl)
+            w = corner_weights(b["coord"], lvl, s.poly_int_on)
+            found_w.append(jnp.where(f_i[:, None], w, 0.0))
+            corners.append(c_i)
+        loss = fwd_loss_lanefold(pk, b, found_w, corners, env)
+        return key, pk, acc + loss
+
+    timed(v_pk_lanefold, (jax.random.PRNGKey(0), packed, jnp.float32(0)),
+          env, label="pk_lanefold")
+
+    def v_pk_lanefold_grad(carry, env):
+        # + backward wrt the packed tables' gathered lane-rows
+        key, pk, acc = carry
+        key, k = jax.random.split(key)
+        b = sample(k, env)
+        found_w, corners = [], []
+        for i, lvl in enumerate(levels):
+            c_i, f_i = lookup_level(env["tables"][i], b["coord"], lvl)
+            w = corner_weights(b["coord"], lvl, s.poly_int_on)
+            found_w.append(jnp.where(f_i[:, None], w, 0.0))
+            corners.append(c_i)
+
+        def loss_of_lanerows(lanerows_list):
+            f = None
+            for i in range(3):
+                sel = (lanegrp[None, None, :]
+                       == (corners[i] % 16)[:, :, None])
+                w_m = jnp.where(sel, found_w[i][:, :, None], 0.0)
+                f128 = jnp.einsum("bcl,bcl->bl", w_m, lanerows_list[i])
+                c = f128.reshape(-1, 16, 8).sum(axis=1)
+                f = c if f is None else f + c
+            pred = decoder.sdf(env["geo"], f)
+            return losses.sdf_bce_loss(
+                pred, b["sdf_label"], s.sigma_sigmoid,
+                jnp.abs(b["weight"]), s.loss_weight_on, s.loss_reduction)
+
+        lanerows_list = [pk[i][corners[i] // 16] for i in range(3)]
+        loss, g_lr = jax.value_and_grad(loss_of_lanerows)(lanerows_list)
+        return key, pk, acc + loss + g_lr[0][0, 0, 0]
+
+    timed(v_pk_lanefold_grad, (jax.random.PRNGKey(0), packed,
+                               jnp.float32(0)), env, label="pk_lf_grad")
+
     def fwd_loss(G_list, b, found, env):
         f = None
         for i, lvl in enumerate(levels):

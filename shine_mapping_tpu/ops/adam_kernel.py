@@ -139,6 +139,19 @@ def _xla_update(p128, m128, v128, rows, grads, lr, bc1, bc2,
     return p.reshape(R, 128), m.reshape(R, 128), v.reshape(R, 128)
 
 
+def _xla_update_lanes(p128, m128, v128, rows, g128, lr, bc1, bc2,
+                      C: int, D: int, b1: float, b2: float, eps: float):
+    """Lane-aligned twin of ``_xla_update``: gradients arrive pre-spread
+    over whole 128-lane packed rows (the backward of ``lanefold``), so the
+    scatter targets packed rows directly.  Off-slot lanes are exactly zero,
+    making this bit-equivalent to the narrow scatter up to add order."""
+    gd = jnp.zeros_like(p128).at[rows // (128 // D)].add(g128)
+    m = b1 * m128 + (1.0 - b1) * gd
+    v = b2 * v128 + (1.0 - b2) * gd * gd
+    p = p128 - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+    return p, m, v
+
+
 def gather_rows_packed(p128: jnp.ndarray, rows: jnp.ndarray, D: int) -> jnp.ndarray:
     """Gather (..., D) corner rows from a packed (R, 128) table.
 
@@ -147,12 +160,55 @@ def gather_rows_packed(p128: jnp.ndarray, rows: jnp.ndarray, D: int) -> jnp.ndar
     (+7 ms/level at 4.2M corners — experiments/exp_pallas_trainer.py);
     gathering whole 128-lane rows and selecting the D target lanes
     in-register avoids it.
+
+    NOTE: the production trainer no longer extracts (..., D) rows at all —
+    ``take_along_axis``'s per-element lane select costs ~4 ms/level at
+    bench scale (experiments/exp_iter_ablation.py ``pk_lanefold``).  It
+    gathers whole lane-rows (``gather_lanerows``) and folds the lane
+    select into the interpolation reduction (``lanefold``) instead.  This
+    helper remains for callers that genuinely need the narrow rows.
     """
     PACK = 128 // D
     lanerows = p128[rows // PACK]  # (..., 128)
     lane0 = (rows % PACK) * D
     idx = lane0[..., None] + jnp.arange(D, dtype=rows.dtype)
     return jnp.take_along_axis(lanerows, idx, axis=-1)
+
+
+def gather_lanerows(p128: jnp.ndarray, rows: jnp.ndarray, D: int) -> jnp.ndarray:
+    """Gather the whole 128-lane packed rows containing each (C,D)-row.
+
+    Returns (..., 128); pair with ``rows % (128 // D)`` slot ids and
+    ``lanefold`` to form interpolated features without ever materializing
+    the narrow (..., D) view.
+    """
+    return p128[rows // (128 // D)]
+
+
+def lanefold(lanerows: jnp.ndarray, slots: jnp.ndarray, w: jnp.ndarray,
+             D: int) -> jnp.ndarray:
+    """Weighted corner reduction fused with the packed-lane select.
+
+    ``lanerows`` (B, 8, 128) whole packed rows, ``slots`` (B, 8) int32 slot
+    ids (row % PACK), ``w`` (B, 8) interpolation weights (found-masked).
+    Masking the weights over the slot's D lanes and reducing corners gives
+    the level's feature contribution in one elementwise pass:
+
+        f128[b, l] = sum_c w[b, c] * [slot(l) == slots[b, c]] * lanerows[b, c, l]
+        feat[b, d] = sum_s f128[b, s * D + d]
+
+    measured 5.7 ms vs 17.4 ms for gather_rows_packed + einsum at bench
+    scale (experiments/exp_iter_ablation.py).  The backward w.r.t.
+    ``lanerows`` is the broadcast outer product w_masked * g_f128 — lane
+    aligned, consumable by ``fused_adam_packed(..., lanes=True)`` with no
+    scatter or lane shuffle anywhere.
+    """
+    PACK = 128 // D
+    lanegrp = jnp.arange(128, dtype=jnp.int32) // D  # lane -> slot id
+    sel = lanegrp[None, None, :] == slots[:, :, None]
+    w_m = jnp.where(sel, w[:, :, None].astype(lanerows.dtype), 0.0)
+    f128 = jnp.einsum("bcl,bcl->bl", w_m, lanerows)
+    return f128.reshape(-1, PACK, D).sum(axis=1)
 
 
 def choose_tiles(C: int, D: int, M: int) -> Tuple[int, int]:
@@ -183,15 +239,22 @@ def fused_adam_packed(
     b2: float = 0.99,
     eps: float = 1e-15,
     use_pallas: bool = True,
+    lanes: bool = False,
 ):
     """Dense-Adam step on a packed (R,128) table with sparse gradient
     entries ``rows`` (M,) int32 (unsorted, duplicates fine; trashbin rows
-    carry zero grads) and ``grads`` (M, D).
+    carry zero grads) and ``grads`` (M, D) — or, with ``lanes=True``,
+    (M, 128) whole-lane-row gradients as emitted by the ``lanefold``
+    backward (nonzero only in each entry's D slot lanes), skipping the
+    in-wrapper lane spread entirely.
 
     Returns updated (p128, m128, v128).
     """
     M = rows.shape[0]
     if not (use_pallas and _HAS_PALLAS and packable(C, D)):
+        if lanes:
+            return _xla_update_lanes(p128, m128, v128, rows, grads, lr,
+                                     bc1, bc2, C, D, b1, b2, eps)
         return _xla_update(p128, m128, v128, rows, grads, lr, bc1, bc2,
                            C, D, b1, b2, eps)
 
@@ -206,20 +269,29 @@ def fused_adam_packed(
     # exactly zero by construction (found-masked interpolation weights), so
     # spread them uniformly over the table and zero them defensively.
     trash = rows == C - 1
-    spread = (jnp.arange(M, dtype=rows.dtype) * PACK) % (C - 1)
-    rows = jnp.where(trash, spread, rows)
-    grads = jnp.where(trash[:, None], 0.0, grads)
-
-    order = jnp.argsort(rows)
     hints = dict(unique_indices=True, mode="promise_in_bounds")
-    rows_s = rows.at[order].get(**hints)
-    grads_s = grads.at[order].get(**hints)
-    prow = (rows_s // PACK).astype(jnp.int32)
+    if lanes:
+        spread_p = jnp.arange(M, dtype=jnp.int32) % max(R - 1, 1)
+        prow_u = jnp.where(trash, spread_p,
+                           (rows // PACK).astype(jnp.int32))
+        g128 = jnp.where(trash[:, None], 0.0, grads)
+        order = jnp.argsort(prow_u)
+        prow = prow_u.at[order].get(**hints)
+        g128 = g128.at[order].get(**hints)
+    else:
+        spread = (jnp.arange(M, dtype=rows.dtype) * PACK) % (C - 1)
+        rows = jnp.where(trash, spread, rows)
+        grads = jnp.where(trash[:, None], 0.0, grads)
 
-    lane = jnp.arange(128, dtype=jnp.int32)
-    g_rep = jnp.tile(grads_s, (1, PACK))  # g_rep[k, l] = grads[k, l % D]
-    mask = (lane[None, :] // D) == (rows_s % PACK)[:, None].astype(jnp.int32)
-    g128 = jnp.where(mask, g_rep, 0.0)
+        order = jnp.argsort(rows)
+        rows_s = rows.at[order].get(**hints)
+        grads_s = grads.at[order].get(**hints)
+        prow = (rows_s // PACK).astype(jnp.int32)
+
+        lane = jnp.arange(128, dtype=jnp.int32)
+        g_rep = jnp.tile(grads_s, (1, PACK))  # g_rep[k, l] = grads[k, l % D]
+        mask = (lane[None, :] // D) == (rows_s % PACK)[:, None].astype(jnp.int32)
+        g128 = jnp.where(mask, g_rep, 0.0)
     g_hi = g128.astype(jnp.bfloat16)
     g_lo = (g128 - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
@@ -246,6 +318,9 @@ def fused_adam_packed(
 
     def do_xla(args):
         p128, m128, v128 = args
+        if lanes:
+            return _xla_update_lanes(p128, m128, v128, rows, grads, lr,
+                                     bc1, bc2, C, D, b1, b2, eps)
         return _xla_update(p128, m128, v128, rows, grads, lr, bc1, bc2,
                            C, D, b1, b2, eps)
 

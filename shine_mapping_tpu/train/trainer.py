@@ -300,13 +300,25 @@ def _compute_loss(params, tables, batch, shadow, key, s: TrainSettings):
     return total, aux
 
 
-def _feat_from_rows(c, G_l, found_l, s: TrainSettings):
-    """Interpolated hierarchical feature from pre-gathered corner rows."""
+def _feat_from_rows(c, G_l, found_l, s: TrainSettings, slots_l=None,
+                    feat_dims=None):
+    """Interpolated hierarchical feature from pre-gathered corner rows.
+
+    With ``slots_l`` (pallas mode) ``G_l[i]`` holds whole 128-lane packed
+    rows and the lane select is folded into the interpolation reduction
+    (``adam_kernel.lanefold``): the narrow (B, 8, D) view never exists —
+    ``take_along_axis``'s per-element lane select costs ~4 ms/level at
+    bench scale — and the backward w.r.t. ``G_l`` is lane-aligned, exactly
+    what ``fused_adam_packed(lanes=True)`` consumes with no lane shuffle.
+    """
     f = None
     for i, level in enumerate(s.levels):
         w = corner_weights(c, level, s.poly_int_on)
         w = jnp.where(found_l[i][:, None], w, 0.0)
-        contrib = jnp.einsum("nc,ncd->nd", w.astype(G_l[i].dtype), G_l[i])
+        if slots_l is not None:
+            contrib = adam_kernel.lanefold(G_l[i], slots_l[i], w, feat_dims[i])
+        else:
+            contrib = jnp.einsum("nc,ncd->nd", w.astype(G_l[i].dtype), G_l[i])
         f = contrib if f is None else f + contrib
     return f
 
@@ -328,16 +340,20 @@ def _compute_loss_sparse(dense_params, G_list, G_near, batch, fac, key, s: Train
     coords = batch["coord"]
     weight = batch["weight"]
     found = fac["found"]
+    # pallas mode: G rows are whole 128-lane packed rows; slots select the
+    # D target lanes inside the interpolation reduction (lanefold)
+    slots = fac.get("slots")
+    feat_dims = fac.get("feat_dims")
     surface_mask = weight > 0
     aux: Dict[str, jnp.ndarray] = {}
 
     def pred_of(c):
-        f = _feat_from_rows(c, G_list, found, s)
+        f = _feat_from_rows(c, G_list, found, s, slots, feat_dims)
         if s.time_conditioned:
             return decoder.time_conditioned_sdf(dense_params["geo"], f, batch["ts"])
         return decoder.sdf(dense_params["geo"], f)
 
-    feat = _feat_from_rows(coords, G_list, found, s)
+    feat = _feat_from_rows(coords, G_list, found, s, slots, feat_dims)
     if s.time_conditioned:
         pred = decoder.time_conditioned_sdf(dense_params["geo"], feat, batch["ts"])
     else:
@@ -395,7 +411,8 @@ def _compute_loss_sparse(dense_params, G_list, G_near, batch, fac, key, s: Train
         # gradient agreement between the pre-sampled jittered near points
         # (their structure lookup happens in the body; shine_batch.py:149-158)
         def pred_near(c):
-            f = _feat_from_rows(c, G_near, fac["near_found"], s)
+            f = _feat_from_rows(c, G_near, fac["near_found"], s,
+                                fac.get("near_slots"), feat_dims)
             if s.time_conditioned:
                 ts_n = batch["ts"][fac["near_idx"]]
                 return decoder.time_conditioned_sdf(dense_params["geo"], f, ts_n)
@@ -723,12 +740,14 @@ def _train_chunk_impl(
 
         def gather_rows(i, c_i):
             # pallas mode carries the tables packed (R,128): gather whole
-            # lane-rows and select lanes in-register — reshaping to (C,D)
-            # and gathering through the view makes XLA materialize a layout
-            # copy of the table every iteration (+7 ms/level)
+            # lane-rows — reshaping to (C,D) and gathering through the view
+            # makes XLA materialize a layout copy of the table every
+            # iteration (+7 ms/level), and extracting the narrow (B,8,D)
+            # rows via take_along_axis costs ~4 ms/level; the lane select
+            # instead folds into the interpolation (lanefold, via fac slots)
             f = params["features"][i]
             if mode == "pallas":
-                return adam_kernel.gather_rows_packed(f, c_i, feat_shapes[i][1])
+                return adam_kernel.gather_lanerows(f, c_i, feat_shapes[i][1])
             return f[c_i]
 
         def lookups(c):
@@ -740,8 +759,17 @@ def _train_chunk_impl(
                 G.append(gather_rows(i, c_i))
             return corners, found, G
 
+        def lane_slots(corners_l):
+            return tuple(
+                corners_l[i] % (128 // feat_shapes[i][1])
+                for i in range(len(s.levels))
+            )
+
         corners, found, G_list = lookups(coords)
         fac = {"corners": corners, "found": found}
+        if mode == "pallas":
+            fac["feat_dims"] = tuple(sh[1] for sh in feat_shapes)
+            fac["slots"] = lane_slots(corners)
         G_near = ()
         if s.consistency_loss_on:
             k_c1, k_c2 = jax.random.split(jax.random.fold_in(k_loss, 7))
@@ -758,6 +786,8 @@ def _train_chunk_impl(
                 near_idx=near_idx, near_coords=near_coords,
                 near_found=found_n, near_corners=corners_n,
             )
+            if mode == "pallas":
+                fac["near_slots"] = lane_slots(corners_n)
 
         dense_params = {k: v for k, v in params.items() if k != "features"}
         (loss, aux), (g_dense, g_G, g_Gn) = jax.value_and_grad(
@@ -789,17 +819,19 @@ def _train_chunk_impl(
             for i in range(len(s.levels)):
                 C_i, D_i = feat_shapes[i]
                 rows = corners[i].reshape(-1)
-                g = g_G[i].reshape(-1, D_i)
+                # lanefold backward: (B, 8, 128) lane-aligned gradients, fed
+                # to the kernel as-is (no narrow extraction, no lane spread)
+                g = g_G[i].reshape(-1, 128)
                 if s.consistency_loss_on:
                     rows = jnp.concatenate([rows, fac["near_corners"][i].reshape(-1)])
-                    g = jnp.concatenate([g, g_Gn[i].reshape(-1, D_i)])
+                    g = jnp.concatenate([g, g_Gn[i].reshape(-1, 128)])
                 level_lr = lr * (s.lr_level_reduce_ratio ** i)
                 f_n, m_n, v_n = adam_kernel.fused_adam_packed(
                     params["features"][i],
                     opt_state.m["features"][i],
                     opt_state.v["features"][i],
                     rows, g, level_lr, bc1, bc2, C_i, D_i,
-                    eps=s.adam_eps, use_pallas=use_pallas_kernel,
+                    eps=s.adam_eps, use_pallas=use_pallas_kernel, lanes=True,
                 )
                 new_feats.append(f_n)
                 new_m.append(m_n)
