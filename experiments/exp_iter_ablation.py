@@ -503,6 +503,63 @@ def main_pallas():
     timed(v_pk_full, (jax.random.PRNGKey(0), packed, zerosP, zerosP,
                       jnp.float32(0)), env, label="pk_full")
 
+    # ---- precomputed-lookup variants: the hash structure is FROZEN within
+    # a train chunk, so corner ids for the whole pool can be resolved once
+    # and per-iteration lookups become a (bs, 8) int32 gather.
+
+    @jax.jit
+    def precompute(env):
+        def level_pre(i, lvl):
+            C_i = feat_shapes[i][0]
+
+            def f(c):
+                corners, fnd = lookup_level(env["tables"][i], c, lvl)
+                return jnp.where(fnd[:, None], corners, C_i - 1), fnd
+
+            cs = env["pool"]["coord"].reshape(-1, 65536, 3)
+            corners, fnd = jax.lax.map(f, cs)
+            return corners.reshape(-1, 8), fnd.reshape(-1)
+
+        out = [level_pre(i, lvl) for i, lvl in enumerate(levels)]
+        return tuple(c for c, _ in out), tuple(f for _, f in out)
+
+    t0 = time.perf_counter()
+    corners_pre, found_pre = precompute(env)
+    _ = float(corners_pre[0][0, 0])
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    corners_pre, found_pre = precompute(env)
+    _ = float(corners_pre[0][0, 0])
+    t_pre = time.perf_counter() - t0
+    log(f"precompute: {t_pre*1e3:7.1f} ms for {n_pool} pts x 3 lvls "
+        f"(compile+run {t_compile:.1f} s)")
+    env_pre = dict(env, corners=corners_pre, found=found_pre)
+
+    def sample_pre(k_idx, env):
+        idx = jax.random.randint(k_idx, (s.bs,), 0, n_valid)
+        b = {
+            "coord": env["pool"]["coord"][idx],
+            "sdf_label": env["pool"]["sdf_label"][idx],
+            "weight": env["pool"]["weight"][idx],
+        }
+        corners = [env["corners"][i][idx] for i in range(3)]
+        fnd = [env["found"][i][idx] for i in range(3)]
+        return b, corners, fnd
+
+    def v_pk_lanefold_pre(carry, env):
+        key, pk, acc = carry
+        key, k = jax.random.split(key)
+        b, corners, fnd = sample_pre(k, env)
+        found_w = []
+        for i, lvl in enumerate(levels):
+            w = corner_weights(b["coord"], lvl, s.poly_int_on)
+            found_w.append(jnp.where(fnd[i][:, None], w, 0.0))
+        loss = fwd_loss_lanefold(pk, b, found_w, corners, env)
+        return key, pk, acc + loss
+
+    timed(v_pk_lanefold_pre, (jax.random.PRNGKey(0), packed, jnp.float32(0)),
+          env_pre, label="pk_lf_pre")
+
 
 if __name__ == "__main__":
     import sys as _s

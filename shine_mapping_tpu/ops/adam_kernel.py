@@ -211,6 +211,19 @@ def lanefold(lanerows: jnp.ndarray, slots: jnp.ndarray, w: jnp.ndarray,
     return f128.reshape(-1, PACK, D).sum(axis=1)
 
 
+def lanes_to_narrow(g128: jnp.ndarray, D: int) -> jnp.ndarray:
+    """(..., 128) lane-aligned gradients (lanefold backward) -> (..., D).
+
+    Each entry's gradient occupies exactly one slot's D lanes (the other
+    15 slots are zero), so summing the PACK slots recovers the narrow row
+    exactly — one elementwise pass, no ``take_along_axis`` lane select.
+    Used by the multi-chip path to shrink the cross-chip entry payload
+    16x before the all-gather at the shard_map boundary.
+    """
+    PACK = 128 // D
+    return g128.reshape(g128.shape[:-1] + (PACK, D)).sum(axis=-2)
+
+
 def choose_tiles(C: int, D: int, M: int) -> Tuple[int, int]:
     """Static (tile rows, window block) sizes for the kernel."""
     R = C * D // 128

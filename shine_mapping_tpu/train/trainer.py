@@ -467,10 +467,8 @@ def _resolve_mode(settings: TrainSettings, feat_shapes, batch_sharding) -> str:
         or not all(adam_kernel.packable(C, D) for C, D in feat_shapes)
     ):
         mode = "fused"
-    if mode == "pallas" and batch_sharding is not None:
-        # multi-chip partitioning of the pallas custom-call is future work;
-        # the fused XLA formulation shards today
-        mode = "fused"
+    # pallas + multi-chip: the kernel runs replicated inside a shard_map
+    # island (see body_fused); no fallback needed
     if mode not in ("dense", "sparse", "fused", "pallas"):
         raise ValueError(f"unknown feature_update {settings.feature_update!r}")
     return mode
@@ -826,13 +824,43 @@ def _train_chunk_impl(
                     rows = jnp.concatenate([rows, fac["near_corners"][i].reshape(-1)])
                     g = jnp.concatenate([g, g_Gn[i].reshape(-1, 128)])
                 level_lr = lr * (s.lr_level_reduce_ratio ** i)
-                f_n, m_n, v_n = adam_kernel.fused_adam_packed(
-                    params["features"][i],
-                    opt_state.m["features"][i],
-                    opt_state.v["features"][i],
-                    rows, g, level_lr, bc1, bc2, C_i, D_i,
-                    eps=s.adam_eps, use_pallas=use_pallas_kernel, lanes=True,
-                )
+                if batch_sharding is not None:
+                    # multi-chip: the pallas custom-call cannot be GSPMD-
+                    # partitioned, so the update runs REPLICATED inside a
+                    # shard_map island — the batch-sharded entries all-
+                    # gather at its boundary.  Narrowing the lane grads to
+                    # (M, D) first shrinks the cross-chip payload 16x
+                    # (~2.3 MB/level at bs 8192 over ICI); the wrapper's
+                    # lane spread reconstructs the same g128 bit-exactly.
+                    g = adam_kernel.lanes_to_narrow(g, D_i)
+                    P = jax.sharding.PartitionSpec
+
+                    def upd(p_, m_, v_, rows_, g_, lr_, bc1_, bc2_,
+                            C_i=C_i, D_i=D_i):
+                        return adam_kernel.fused_adam_packed(
+                            p_, m_, v_, rows_, g_, lr_, bc1_, bc2_,
+                            C_i, D_i, eps=s.adam_eps,
+                            use_pallas=use_pallas_kernel, lanes=False,
+                        )
+
+                    f_n, m_n, v_n = jax.shard_map(
+                        upd, mesh=batch_sharding.mesh,
+                        in_specs=P(), out_specs=P(), check_vma=False,
+                    )(
+                        params["features"][i],
+                        opt_state.m["features"][i],
+                        opt_state.v["features"][i],
+                        rows, g, level_lr, bc1, bc2,
+                    )
+                else:
+                    f_n, m_n, v_n = adam_kernel.fused_adam_packed(
+                        params["features"][i],
+                        opt_state.m["features"][i],
+                        opt_state.v["features"][i],
+                        rows, g, level_lr, bc1, bc2, C_i, D_i,
+                        eps=s.adam_eps, use_pallas=use_pallas_kernel,
+                        lanes=True,
+                    )
                 new_feats.append(f_n)
                 new_m.append(m_n)
                 new_v.append(v_n)

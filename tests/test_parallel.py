@@ -155,6 +155,56 @@ def test_row_sharded_layout_survives_capacity_doublings():
     m.dryrun_multichip(8)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pallas_mode_sharded_matches_single_device():
+    """feature_update='pallas' composes with the data-parallel mesh: the
+    kernel update runs replicated inside a shard_map island fed by narrow
+    all-gathered entries (trainer body_fused), and must track the
+    single-device pallas run like the fused path does."""
+    pool, surf = make_sphere_pool(1500, seed=13)
+    cfg = default_cfg(bs=1024)
+    grid, settings, params, opt_state, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="pallas", ekional_loss_on=True
+    )
+    shadow = trainer.empty_shadow(params["features"])
+    key = jax.random.PRNGKey(2)
+
+    def copy(p):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
+
+    p1, o1, aux1 = trainer.train_chunk(
+        copy(params), init_opt_state(params), tuple(grid.tables), dev_pool,
+        shadow, n_valid, jnp.int32(0), key, settings, 5,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    p8, o8, aux8 = trainer.train_chunk(
+        jax.device_put(copy(params), repl),
+        jax.device_put(init_opt_state(params), repl),
+        jax.device_put(tuple(grid.tables), repl),
+        jax.device_put(dev_pool, repl),
+        jax.device_put(shadow, repl),
+        jax.device_put(n_valid, repl), jnp.int32(0), key, settings, 5,
+        batch_sharding=batch_sh,
+    )
+    np.testing.assert_allclose(
+        float(aux1["mean"]["total_loss"]), float(aux8["mean"]["total_loss"]),
+        rtol=1e-4,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        mismatch = np.mean(np.abs(a - b) > 2e-4)
+        assert mismatch < 0.01, f"{mismatch:.4f} of elements diverged"
+        np.testing.assert_allclose(a, b, atol=5e-2)
+    # the trashbin row stays exactly zero through the sharded update
+    for f in p8["features"]:
+        assert np.all(np.asarray(f[-1]) == 0)
+
+
 def test_graft_entry_compiles():
     import importlib.util
 
