@@ -208,6 +208,11 @@ class SHINEConfig:
     # "sparse" (lazy touched-rows Adam; map-size-independent, compact
     # multi-chip gradients), or "dense" (plain autodiff; debugging fallback)
     feature_update: str = "fused"
+    # resolve corner ids for the whole device pool once per train chunk
+    # (structure is frozen within a chunk): per-iteration lookups become
+    # plain gathers.  Pays off for batch runs whose chunks draw more
+    # samples than the pool holds; fused/pallas modes.
+    precompute_lookups: bool = False
     # pool capacity in samples (static shape; doubled on overflow)
     init_pool_capacity: int = 1 << 20
     # device-pool budget: when the host pool exceeds this many samples, a
@@ -318,6 +323,8 @@ class SHINEConfig:
         self.scan_chunk = opt("tpu", "scan_chunk", self.scan_chunk)
         self.mesh_shape = opt("tpu", "mesh_shape", self.mesh_shape)
         self.feature_update = opt("tpu", "feature_update", self.feature_update)
+        self.precompute_lookups = opt(
+            "tpu", "precompute_lookups", self.precompute_lookups)
         self.coordinator = opt("tpu", "coordinator", self.coordinator)
         self.num_processes = opt("tpu", "num_processes", self.num_processes)
         self.process_id = opt("tpu", "process_id", self.process_id)

@@ -98,6 +98,12 @@ class TrainSettings:
     #   "dense": plain autodiff + dense Adam (reference formulation; slow —
     #            autodiff's scatter does not fuse).  Fallback for SGD.
     feature_update: str = "fused"
+    # resolve corner ids for the WHOLE device pool once per train_chunk
+    # (the hash structure is frozen within a chunk) so the per-iteration
+    # hash probe becomes a (bs, 8) int32 gather.  Pays off when the chunk
+    # draws more samples than the pool holds (n_iters * bs >> pool size);
+    # fused/pallas modes only.
+    precompute_lookups: bool = False
 
     @classmethod
     def from_config(cls, cfg, levels: Tuple[int, ...], **overrides) -> "TrainSettings":
@@ -135,6 +141,7 @@ class TrainSettings:
             lr_iters_reduce_ratio=cfg.lr_iters_reduce_ratio,
             lr_decay_step=tuple(cfg.lr_decay_step),
             feature_update=getattr(cfg, "feature_update", "fused"),
+            precompute_lookups=getattr(cfg, "precompute_lookups", False),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -617,12 +624,37 @@ def _train_chunk_impl(
                 k: jax.lax.with_sharding_constraint(v, batch_sharding)
                 for k, v in batch.items()
             }
-        return batch
+            idx = jax.lax.with_sharding_constraint(idx, batch_sharding)
+        return batch, idx
+
+    pre_lookups = None
+    if s.precompute_lookups and mode in ("fused", "pallas"):
+        # the hash structure is FROZEN within a chunk: resolve corner ids
+        # for the whole (padded, static-capacity) pool once, so the per-
+        # iteration probe-window lookup becomes a (bs, 8) int32 gather.
+        # Misses are forced to the trashbin row for a uniform convention.
+        npool = pool["coord"].shape[0]
+        CH = min(65536, npool)
+
+        def level_pre(i, level):
+            C_i = feat_shapes[i][0]
+
+            def f(c):
+                corners, fnd = lookup_level(tables[i], c, level)
+                return jnp.where(fnd[:, None], corners, C_i - 1), fnd
+
+            cs = pool["coord"].reshape(-1, CH, 3)
+            corners, fnd = jax.lax.map(f, cs)
+            return corners.reshape(-1, 8), fnd.reshape(-1)
+
+        pre_lookups = tuple(
+            level_pre(i, lvl) for i, lvl in enumerate(s.levels)
+        )
 
     def body_dense(carry, it):
         params, opt_state, key = carry
         key, k_idx, k_loss = jax.random.split(key, 3)
-        batch = sample_batch(k_idx)
+        batch, idx = sample_batch(k_idx)
         (loss, aux), grads = jax.value_and_grad(_compute_loss, has_aux=True)(
             params, tables, batch, shadow, k_loss, s
         )
@@ -649,7 +681,7 @@ def _train_chunk_impl(
         the round-1 packed-row measurement, BENCH_NOTES.md)."""
         params, opt_state, key = carry
         key, k_idx, k_loss = jax.random.split(key, 3)
-        batch = sample_batch(k_idx)
+        batch, idx = sample_batch(k_idx)
         coords = batch["coord"]
 
         D = feat_shapes[0][1]
@@ -733,7 +765,7 @@ def _train_chunk_impl(
         # same split structure as body_dense so dense/fused runs with equal
         # seeds draw identical batches (equivalence-testable)
         key, k_idx, k_loss = jax.random.split(key, 3)
-        batch = sample_batch(k_idx)
+        batch, idx = sample_batch(k_idx)
         coords = batch["coord"]
 
         def gather_rows(i, c_i):
@@ -763,7 +795,13 @@ def _train_chunk_impl(
                 for i in range(len(s.levels))
             )
 
-        corners, found, G_list = lookups(coords)
+        if pre_lookups is not None:
+            # per-chunk precomputed structure: batch lookups are gathers
+            corners = [pre_lookups[i][0][idx] for i in range(len(s.levels))]
+            found = [pre_lookups[i][1][idx] for i in range(len(s.levels))]
+            G_list = [gather_rows(i, c_i) for i, c_i in enumerate(corners)]
+        else:
+            corners, found, G_list = lookups(coords)
         fac = {"corners": corners, "found": found}
         if mode == "pallas":
             fac["feat_dims"] = tuple(sh[1] for sh in feat_shapes)

@@ -126,6 +126,33 @@ def test_pallas_mode_consistency_loss():
         assert np.all(np.asarray(f[-1]) == 0)  # trashbin untouched
 
 
+def test_precomputed_lookups_match_live_lookups():
+    """precompute_lookups=True (per-chunk full-pool corner resolution) must
+    reproduce the live-probe run exactly: found corners are identical by
+    construction and missed corners carry zero gradients either way."""
+    pool, surf = make_sphere_pool(1500, seed=21)
+    cfg = default_cfg(bs=1024)
+    for mode in ("fused", "pallas"):
+        grid, settings, params, _, dev_pool, n_valid = build(
+            cfg, pool, surf, feature_update=mode, ekional_loss_on=True
+        )
+        settings_pre = trainer.TrainSettings.from_config(
+            cfg, grid.levels, sigma_sigmoid=0.05, feature_update=mode,
+            ekional_loss_on=True, precompute_lookups=True,
+        )
+        p_a, o_a, aux_a = _run(cfg, grid, settings, params, dev_pool, n_valid)
+        p_b, o_b, aux_b = _run(cfg, grid, settings_pre, params, dev_pool, n_valid)
+        np.testing.assert_allclose(
+            float(aux_a["mean"]["total_loss"]),
+            float(aux_b["mean"]["total_loss"]), rtol=1e-6,
+        )
+        for i in range(len(p_a["features"])):
+            np.testing.assert_allclose(
+                np.asarray(p_a["features"][i]), np.asarray(p_b["features"][i]),
+                rtol=1e-5, atol=1e-7,
+            )
+
+
 def test_adam_kernel_xla_twin_matches_scatter_reference():
     """fused_adam_packed (XLA path) == scatter+adam on unpacked tables."""
     from shine_mapping_tpu.ops import adam_kernel
