@@ -29,6 +29,7 @@ import jax.numpy as jnp
 @pytest.fixture(scope="module")
 def worlds():
     fo, dec, loss = ref_harness.load_reference()
+    torch.manual_seed(0)  # octree feature init must be run-to-run stable
     rng = np.random.default_rng(0)
     n = 3000
     dirs = rng.standard_normal((n, 3))
@@ -132,6 +133,143 @@ def test_sdf_field_and_gradient_parity(worlds):
 
     np.testing.assert_allclose(sdf_ours, sdf_ref, atol=2e-5)
     np.testing.assert_allclose(g_ours, g_ref, atol=2e-4)
+
+
+def test_training_trajectory_parity(worlds):
+    """30 Adam iterations of the REFERENCE'S OWN training stack (its
+    octree query, decoder, BCE loss, torch.optim.Adam) against our
+    production `train_chunk` (fused path) on identical init, identical
+    batches: the resulting SDF fields must agree.  This is the end-to-end
+    version of the static field-parity gate — it exercises gradients,
+    optimizer semantics and the whole update chain of both stacks."""
+    import importlib
+
+    fo, dec, octree, grid, surf = worlds
+    transfer_features(octree, grid)
+    sys.path.insert(0, "/root/reference")
+    ref_loss = importlib.import_module("utils.loss")
+
+    cfg_ref = ref_harness.RefConfig(
+        tree_level_world=6, tree_level_feat=3, leaf_vox_size=0.5
+    )
+    torch.manual_seed(4)  # decoder init must be run-to-run stable
+    geo_ref = dec.Decoder(cfg_ref, is_geo_encoder=True)
+    tmp = "/tmp/ref_train_parity_decoder.pth"
+    torch.save({"geo_decoder": geo_ref.state_dict()}, tmp)
+
+    K, bs, lr, sigma = 30, 512, 1e-3, 0.05
+    # keep training points away from voxel boundaries at every featured
+    # level: points on an f32 voxel edge can quantize to adjacent voxels
+    # in the two stacks, and Adam's normalization turns the resulting
+    # near-zero gradient on a differing corner into full lr-sized steps —
+    # inherent float boundary sensitivity, not an implementation delta
+    keep = np.ones(surf.shape[0], bool)
+    for lvl in (6, 5, 4):
+        t = (surf * 0.5 + 0.5) * (2 ** lvl)
+        frac = t - np.floor(t)
+        keep &= np.all((frac > 0.05) & (frac < 0.95), axis=1)
+    surf = np.ascontiguousarray(surf[keep])
+    n = surf.shape[0]
+    assert n > 1500
+    labels = np.random.default_rng(3).normal(0, 0.02, n).astype(np.float32)
+
+    # ---- replicate the production batch-key schedule (trainer body:
+    # key, k_idx, k_loss = split(key, 3); idx = randint(k_idx, bs, 0, n))
+    key0 = jax.random.PRNGKey(17)
+    key = key0
+    idx_seq = []
+    for _ in range(K):
+        key, k_idx, _k_loss = jax.random.split(key, 3)
+        idx_seq.append(np.asarray(jax.random.randint(k_idx, (bs,), 0, n)))
+
+    # ---- reference side: its own query + loss + torch Adam
+    opt = torch.optim.Adam(
+        list(octree.parameters()) + list(geo_ref.parameters()),
+        lr=lr, betas=(0.9, 0.99), eps=1e-15,
+    )
+    surf_t = torch.from_numpy(surf)
+    labels_t = torch.from_numpy(labels)
+    for it in range(K):
+        idx = idx_seq[it]
+        coords = surf_t[idx]
+        feat = octree.query_feature(coords)
+        pred = geo_ref.sdf(feat)
+        loss = ref_loss.sdf_bce_loss(pred, labels_t[idx], sigma, None, "mean")
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    octree.set_zero()
+
+    # ---- our side: the production jitted scan (fused dense-Adam path)
+    from shine_mapping_tpu.train import trainer
+    from shine_mapping_tpu.train.optimizer import init_opt_state
+    from shine_mapping_tpu.config import SHINEConfig
+    from shine_mapping_tpu.data.dataset import SamplePool
+
+    cfg = SHINEConfig()
+    cfg.tree_level_world = 6
+    cfg.tree_level_feat = 3
+    cfg.leaf_vox_size = 0.5
+    cfg.bs = bs
+    cfg.lr = lr
+    cfg.weight_decay = 0.0
+    cfg.derive()
+    settings = trainer.TrainSettings.from_config(
+        cfg, grid.levels, sigma_sigmoid=sigma, feature_update="fused",
+        loss_weight_on=False, lr_level_reduce_ratio=1.0,
+    )
+    params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
+    params["geo"] = our_decoder.load_torch_decoder(tmp, "geo_decoder")
+    params = dict(params, features=tuple(grid.features))
+    pool = SamplePool(
+        coord=surf, sdf_label=labels,
+        weight=np.ones(n, np.float32),
+        sample_depth=np.zeros(n, np.float32),
+        ray_depth=np.zeros(n // 7 + 1, np.float32),
+        origin=np.zeros((n, 3), np.float32),
+        time=np.zeros(n, np.float32),
+    )
+    dev_pool, n_valid = trainer.pool_to_device(pool, 4096, settings)
+    assert int(n_valid) == n
+    shadow = trainer.empty_shadow(params["features"])
+    params2, _, aux = trainer.train_chunk(
+        params, init_opt_state(params), tuple(grid.tables), dev_pool,
+        shadow, n_valid, jnp.int32(0), key0, settings, K,
+    )
+
+    # ---- compare the trained SDF fields on in-map queries
+    queries = surf[:1024]
+    q_t = torch.from_numpy(queries)
+    with torch.no_grad():
+        sdf_ref = geo_ref.sdf(octree.query_feature(q_t)).numpy()
+
+    tables = tuple(grid.tables)
+    feats = list(params2["features"])
+
+    def ours(c):
+        f = query_feature(c, tables, feats, tuple(grid.levels), True)
+        return our_decoder.sdf(params2["geo"], f)
+
+    sdf_ours = np.asarray(ours(jnp.asarray(queries)))
+    np.testing.assert_allclose(sdf_ours, sdf_ref, atol=5e-4)
+
+    # and the feature tables themselves, matched corner-by-corner
+    feat_num = octree.featured_level_num
+    for i in range(feat_num):
+        current_level = octree.max_level - i
+        ref_feats = octree.hier_features[feat_num - 1 - i].detach().numpy()
+        lut = octree.corners_lookup_tables[current_level]
+        mortons = np.array(list(lut.keys()), dtype=np.int64)
+        ref_rows = np.array(list(lut.values()), dtype=np.int64)
+        coords = morton_to_points_np(mortons)
+        keys = _pack64(coords)
+        hl = grid.host_levels[i]
+        pos = np.searchsorted(hl.corner_keys_sorted, keys)
+        our_rows = hl.corner_rows_sorted[pos]
+        ours_f = np.asarray(params2["features"][i])
+        np.testing.assert_allclose(
+            ours_f[our_rows], ref_feats[ref_rows], atol=5e-4,
+        )
 
 
 def test_bce_loss_parity(worlds):
