@@ -110,6 +110,14 @@ def main() -> None:
     # Adam) optimizer paths are measured; the better one is reported.
     n_iters = 300
 
+    # run-level lookup precompute, exactly as the batch driver does it: the
+    # structure is frozen for the whole run, so corner resolution is paid
+    # once (~0.6 s) and every iteration's hash probe becomes a gather
+    pre_lookups = trainer.precompute_pool_lookups(
+        tables, dev_pool["coord"], tuple(grid.levels),
+        tuple(f.shape[0] for f in grid.features),
+    )
+
     def run_variant(mode: str) -> float:
         settings = trainer.TrainSettings.from_config(
             cfg, grid.levels, feature_update=mode
@@ -128,6 +136,7 @@ def main() -> None:
             params2, opt_state2, aux = trainer.train_chunk(
                 params, opt_state, tables, dev_pool, shadow,
                 n_valid, jnp.int32(rep * n_iters), k, settings, n_iters,
+                pre_lookups=pre_lookups,
             )
             params, opt_state = params2, opt_state2
             loss = float(aux["mean"]["total_loss"])  # device sync

@@ -159,6 +159,20 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             f"data-parallel over {n_dev} devices "
             f"(tables {cfg.table_sharding})"
         )
+    # the batch-mode structure is frozen for the whole run: resolve corner
+    # ids for every pool sample once (invalidated only by pool rotation)
+    # and per-iteration hash probes become plain gathers
+    pre_lookups = None
+
+    def make_pre():
+        if not cfg.precompute_lookups:
+            return None
+        return trainer.precompute_pool_lookups(
+            tables, dev_pool["coord"], tuple(grid.levels),
+            tuple(f.shape[0] for f in grid.features),
+        )
+
+    pre_lookups = make_pre()
     t_train0 = time.time()
     done_iters = start_iter
     for start, n in event_boundaries(
@@ -175,6 +189,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
                 dataset.pool, capacity, settings, subset=sub
             )
             iters_since_rotate = 0
+            pre_lookups = make_pre()  # pool contents changed
         # chunk key depends only on the chunk's start iteration, so a
         # resumed run draws the same batches an uninterrupted run would
         k = jax.random.fold_in(key, start)
@@ -184,6 +199,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
                 params, opt_state, tables, dev_pool, shadow,
                 n_valid, jnp.int32(start), k, settings, n,
                 batch_sharding=batch_sharding,
+                pre_lookups=pre_lookups,
             )
             t1 = get_time(aux["mean"]["total_loss"])
         iters_since_rotate += n

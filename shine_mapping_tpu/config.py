@@ -208,11 +208,11 @@ class SHINEConfig:
     # "sparse" (lazy touched-rows Adam; map-size-independent, compact
     # multi-chip gradients), or "dense" (plain autodiff; debugging fallback)
     feature_update: str = "fused"
-    # resolve corner ids for the whole device pool once per train chunk
-    # (structure is frozen within a chunk): per-iteration lookups become
-    # plain gathers.  Pays off for batch runs whose chunks draw more
-    # samples than the pool holds; fused/pallas modes.
-    precompute_lookups: bool = False
+    # resolve corner ids for the whole device pool once per run (the
+    # batch-mode structure is frozen; invalidated on pool rotation):
+    # per-iteration hash probes become plain gathers.  Batch driver only;
+    # fused/pallas modes.
+    precompute_lookups: bool = True
     # pool capacity in samples (static shape; doubled on overflow)
     init_pool_capacity: int = 1 << 20
     # device-pool budget: when the host pool exceeds this many samples, a

@@ -98,12 +98,6 @@ class TrainSettings:
     #   "dense": plain autodiff + dense Adam (reference formulation; slow —
     #            autodiff's scatter does not fuse).  Fallback for SGD.
     feature_update: str = "fused"
-    # resolve corner ids for the WHOLE device pool once per train_chunk
-    # (the hash structure is frozen within a chunk) so the per-iteration
-    # hash probe becomes a (bs, 8) int32 gather.  Pays off when the chunk
-    # draws more samples than the pool holds (n_iters * bs >> pool size);
-    # fused/pallas modes only.
-    precompute_lookups: bool = False
 
     @classmethod
     def from_config(cls, cfg, levels: Tuple[int, ...], **overrides) -> "TrainSettings":
@@ -141,7 +135,6 @@ class TrainSettings:
             lr_iters_reduce_ratio=cfg.lr_iters_reduce_ratio,
             lr_decay_step=tuple(cfg.lr_decay_step),
             feature_update=getattr(cfg, "feature_update", "fused"),
-            precompute_lookups=getattr(cfg, "precompute_lookups", False),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -508,6 +501,7 @@ def train_chunk(
     settings: TrainSettings,
     n_iters: int,
     batch_sharding=None,
+    pre_lookups=None,
 ):
     """Run ``n_iters`` optimization steps in one compiled scan.
 
@@ -520,6 +514,11 @@ def train_chunk(
     axis; the sampled batch is sharding-constrained to it so XLA partitions
     the forward/backward across chips and all-reduces the (replicated)
     parameter gradients over ICI.
+
+    ``pre_lookups``: optional output of :func:`precompute_pool_lookups` for
+    the SAME (tables, pool) — per-iteration hash probes become plain
+    gathers.  The caller owns invalidation: recompute whenever the map
+    structure or the uploaded pool contents change.
     """
     feat_shapes = tuple(tuple(f.shape) for f in params["features"])
     mode = _resolve_mode(settings, feat_shapes, batch_sharding)
@@ -532,7 +531,7 @@ def train_chunk(
         )
     params, opt_state, aux = _train_chunk_impl(
         params, opt_state, tables, pool, shadow, n_valid, start_iter, key,
-        settings, n_iters, batch_sharding, mode, feat_shapes,
+        settings, n_iters, batch_sharding, mode, feat_shapes, pre_lookups,
     )
     if mode == "pallas":
         params = dict(
@@ -567,6 +566,7 @@ def _train_chunk_impl(
     batch_sharding=None,
     mode: str = "fused",
     feat_shapes=(),
+    pre_lookups=None,
 ):
     s = settings
     lr_scale_tree, wd_tree = make_group_trees(
@@ -627,29 +627,8 @@ def _train_chunk_impl(
             idx = jax.lax.with_sharding_constraint(idx, batch_sharding)
         return batch, idx
 
-    pre_lookups = None
-    if s.precompute_lookups and mode in ("fused", "pallas"):
-        # the hash structure is FROZEN within a chunk: resolve corner ids
-        # for the whole (padded, static-capacity) pool once, so the per-
-        # iteration probe-window lookup becomes a (bs, 8) int32 gather.
-        # Misses are forced to the trashbin row for a uniform convention.
-        npool = pool["coord"].shape[0]
-        CH = min(65536, npool)
-
-        def level_pre(i, level):
-            C_i = feat_shapes[i][0]
-
-            def f(c):
-                corners, fnd = lookup_level(tables[i], c, level)
-                return jnp.where(fnd[:, None], corners, C_i - 1), fnd
-
-            cs = pool["coord"].reshape(-1, CH, 3)
-            corners, fnd = jax.lax.map(f, cs)
-            return corners.reshape(-1, 8), fnd.reshape(-1)
-
-        pre_lookups = tuple(
-            level_pre(i, lvl) for i, lvl in enumerate(s.levels)
-        )
+    if mode not in ("fused", "pallas"):
+        pre_lookups = None
 
     def body_dense(carry, it):
         params, opt_state, key = carry
@@ -975,6 +954,40 @@ def _train_chunk_impl(
     aux_mean = jax.tree_util.tree_map(lambda a: jnp.mean(a), aux_hist)
     aux_last = jax.tree_util.tree_map(lambda a: a[-1], aux_hist)
     return params, opt_state, {"mean": aux_mean, "last": aux_last}
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "capacities"))
+def precompute_pool_lookups(tables, pool_coord, levels, capacities):
+    """Resolve corner ids + found masks for EVERY pool sample.
+
+    The hash structure is frozen for as long as the map does not grow and
+    the uploaded pool does not rotate — for a batch-mode run that is the
+    entire training — so the per-iteration probe-window lookups
+    (~106 ns/point/level, latency-bound) collapse into (bs, 8) int32
+    gathers from these arrays (measured 5.70 -> 4.46 ms/iter at the bench
+    configuration; experiments/exp_iter_ablation.py ``pk_lf_pre``).
+    Misses are forced to the trashbin row for a uniform convention (their
+    gradients are zero either way).
+
+    Returns a tuple per level of (corners (N, 8) int32, found (N,) bool);
+    pass as ``train_chunk(..., pre_lookups=...)``.  The caller owns
+    invalidation on structure growth / pool rotation.
+    """
+    npool = pool_coord.shape[0]
+    CH = min(65536, npool)
+
+    def level_pre(i, level):
+        C_i = capacities[i]
+
+        def f(c):
+            corners, fnd = lookup_level(tables[i], c, level)
+            return jnp.where(fnd[:, None], corners, C_i - 1), fnd
+
+        cs = pool_coord.reshape(-1, CH, 3)
+        corners, fnd = jax.lax.map(f, cs)
+        return corners.reshape(-1, 8), fnd.reshape(-1)
+
+    return tuple(level_pre(i, lvl) for i, lvl in enumerate(levels))
 
 
 def pool_to_device(pool, capacity: int, settings: TrainSettings, subset=None):

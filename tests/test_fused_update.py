@@ -20,11 +20,13 @@ def _copy(p):
     return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
 
 
-def _run(cfg, grid, settings, params, dev_pool, n_valid, iters=5, key=0):
+def _run(cfg, grid, settings, params, dev_pool, n_valid, iters=5, key=0,
+         pre_lookups=None):
     shadow = trainer.empty_shadow(params["features"])
     return trainer.train_chunk(
         _copy(params), init_opt_state(params), tuple(grid.tables), dev_pool,
         shadow, n_valid, jnp.int32(0), jax.random.PRNGKey(key), settings, iters,
+        pre_lookups=pre_lookups,
     )
 
 
@@ -127,21 +129,23 @@ def test_pallas_mode_consistency_loss():
 
 
 def test_precomputed_lookups_match_live_lookups():
-    """precompute_lookups=True (per-chunk full-pool corner resolution) must
-    reproduce the live-probe run exactly: found corners are identical by
-    construction and missed corners carry zero gradients either way."""
+    """Passing precompute_pool_lookups output (run-level full-pool corner
+    resolution) must reproduce the live-probe run exactly: found corners
+    are identical by construction and missed corners carry zero gradients
+    either way."""
     pool, surf = make_sphere_pool(1500, seed=21)
     cfg = default_cfg(bs=1024)
     for mode in ("fused", "pallas"):
         grid, settings, params, _, dev_pool, n_valid = build(
             cfg, pool, surf, feature_update=mode, ekional_loss_on=True
         )
-        settings_pre = trainer.TrainSettings.from_config(
-            cfg, grid.levels, sigma_sigmoid=0.05, feature_update=mode,
-            ekional_loss_on=True, precompute_lookups=True,
+        pre = trainer.precompute_pool_lookups(
+            tuple(grid.tables), dev_pool["coord"], tuple(grid.levels),
+            tuple(f.shape[0] for f in params["features"]),
         )
         p_a, o_a, aux_a = _run(cfg, grid, settings, params, dev_pool, n_valid)
-        p_b, o_b, aux_b = _run(cfg, grid, settings_pre, params, dev_pool, n_valid)
+        p_b, o_b, aux_b = _run(cfg, grid, settings, params, dev_pool, n_valid,
+                               pre_lookups=pre)
         np.testing.assert_allclose(
             float(aux_a["mean"]["total_loss"]),
             float(aux_b["mean"]["total_loss"]), rtol=1e-6,
