@@ -120,7 +120,8 @@ def main() -> None:
 
     def run_variant(mode: str) -> float:
         settings = trainer.TrainSettings.from_config(
-            cfg, grid.levels, feature_update=mode
+            cfg, grid.levels, feature_update=mode,
+            n_used=trainer.used_rows_for(grid, granularity=64),
         )
         params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
         # train_chunk donates params; keep grid.features intact for the
@@ -153,11 +154,12 @@ def main() -> None:
 
     # pallas (packed-table one-hot-matmul kernel) vs fused (explicit-scatter
     # XLA) vs sparse (lazy Adam): the best wins — pallas on-chip at this map
-    # size, sparse for giant maps
-    t_pallas = run_variant("pallas")
-    t_fused = run_variant("fused")
-    t_sparse = run_variant("sparse")
-    chunk_t = min(t_pallas, t_fused, t_sparse)
+    # size, sparse for giant maps.  SHINE_BENCH_MODES=pallas,... restricts
+    # the sweep (dev loop only; the driver-run default measures all three).
+    import os
+
+    modes = os.environ.get("SHINE_BENCH_MODES", "pallas,fused,sparse")
+    chunk_t = min(run_variant(m) for m in modes.split(","))
 
     pts_per_s = n_iters * cfg.bs / chunk_t
     print(

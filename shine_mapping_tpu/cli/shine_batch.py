@@ -101,7 +101,10 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     # pretrained decoder; a full-checkpoint resume keeps training them
     resume = loaded_opt is not None
     settings = trainer.TrainSettings.from_config(
-        cfg, grid.levels, freeze_decoder=freeze and not resume
+        cfg, grid.levels, freeze_decoder=freeze and not resume,
+        # batch structure is frozen after the data phase: near-exact
+        # used-row hints cost one compile and skip the headroom sweep
+        n_used=trainer.used_rows_for(grid, granularity=64),
     )
 
     mesher = Mesher(cfg, grid, params["geo"], params.get("sem"))

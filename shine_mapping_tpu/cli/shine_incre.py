@@ -95,6 +95,9 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
             cfg, grid.levels,
             continual_reg_on=cfg.continual_learning_reg,
             freeze_decoder=freeze,
+            # coarse buckets: the growing map re-jits at most 8 times per
+            # capacity level for the used-rows sweep saving
+            n_used=trainer.used_rows_for(grid, granularity=8),
         )
         # optimizer rebuilt per frame over the grown structure
         opt_state = init_opt_state(params)

@@ -208,6 +208,14 @@ class SHINEConfig:
     # "sparse" (lazy touched-rows Adam; map-size-independent, compact
     # multi-chip gradients), or "dense" (plain autodiff; debugging fallback)
     feature_update: str = "fused"
+    # pallas mode, single chip: update ALL levels' packed tables in ONE
+    # kernel dispatch over their concatenation (per-level lr via a
+    # scalar-prefetched tile->level map) instead of one dispatch per level.
+    # Measured SLOWER at bench scale (12.3 vs 11.9 ms/iter: concatenating
+    # the (196k, 128) gradients costs more than the saved per-level prep —
+    # experiments/exp_fuse_ab.py), so off by default; kept for bigger
+    # batches where the prep tax dominates.
+    fuse_update_levels: bool = False
     # resolve corner ids for the whole device pool once per run (the
     # batch-mode structure is frozen; invalidated on pool rotation):
     # per-iteration hash probes become plain gathers.  Batch driver only;
@@ -323,6 +331,8 @@ class SHINEConfig:
         self.scan_chunk = opt("tpu", "scan_chunk", self.scan_chunk)
         self.mesh_shape = opt("tpu", "mesh_shape", self.mesh_shape)
         self.feature_update = opt("tpu", "feature_update", self.feature_update)
+        self.fuse_update_levels = opt(
+            "tpu", "fuse_update_levels", self.fuse_update_levels)
         self.precompute_lookups = opt(
             "tpu", "precompute_lookups", self.precompute_lookups)
         self.coordinator = opt("tpu", "coordinator", self.coordinator)

@@ -31,7 +31,9 @@ clustered batch overflows a tile's entry window (checked, lax.cond).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Sequence, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -85,9 +87,13 @@ def _kernel(offs_ref, scal_ref, p_ref, m_ref, v_ref,
 
 
 def _pallas_update(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
-                   tb: int, w: int, b1: float, b2: float, eps: float):
+                   tb: int, w: int, b1: float, b2: float, eps: float,
+                   R_used: int | None = None):
     R = p128.shape[0]
-    T = R // tb
+    # grid over the used head only: tiles beyond R_used are never visited
+    # and — thanks to the in-place aliasing — keep their (bit-identical
+    # no-op under dense Adam) contents
+    T = (R if R_used is None else R_used) // tb
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -122,6 +128,254 @@ def _pallas_update(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
             dimension_semantics=("arbitrary",),
         ),
     )(offs, scal, p128, m128, v128, prow_p, prow_p, g_hi, g_lo, g_hi, g_lo)
+
+
+# ----------------------------------------------------- multi-level kernel
+#
+# One pallas_call over the CONCATENATION of all levels' packed tables.
+# Each level keeps its own learning rate (lr * lr_level_reduce_ratio**i):
+# a static tile->level map is scalar-prefetched and indexes a per-level lr
+# vector inside the kernel.  Fusing the levels pays the prep tax (argsort,
+# reorder, bf16 split, pad, searchsorted, cond) ONCE per iteration instead
+# of once per level — measured ~0.84 ms/level of prep at bench scale
+# (experiments/exp_pallas_trainer.py: kernel 1.85 ms, +prep+cond 2.69).
+
+
+def _kernel_multi(offs_ref, scal_ref, lvl_ref, rowmap_ref, p_ref, m_ref,
+                  v_ref, prow0_ref, prow1_ref, g0h_ref, g0l_ref, g1h_ref,
+                  g1l_ref, po_ref, mo_ref, vo_ref, *, tb: int, w: int,
+                  b1: float, b2: float, eps: float):
+    t = pl.program_id(0)
+    lr = scal_ref[3 + lvl_ref[t]]  # per-level learning rate
+    bc1 = scal_ref[1]
+    bc2 = scal_ref[2]
+    # rowmap gives this tile's GLOBAL packed-row block (tiles skip each
+    # level's unused capacity headroom; prows are global row ids)
+    s_ids = (jax.lax.broadcasted_iota(jnp.int32, (tb, w), 0)
+             + rowmap_ref[t] * tb)
+    A0 = (prow0_ref[:] == s_ids).astype(jnp.bfloat16)
+    A1 = (prow1_ref[:] == s_ids).astype(jnp.bfloat16)
+    gtile = (
+        jnp.dot(A0, g0h_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(A0, g0l_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(A1, g1h_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(A1, g1l_ref[:], preferred_element_type=jnp.float32)
+    )
+    m_new = b1 * m_ref[:] + (1.0 - b1) * gtile
+    v_new = b2 * v_ref[:] + (1.0 - b2) * gtile * gtile
+    po_ref[:] = p_ref[:] - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
+    mo_ref[:] = m_new
+    vo_ref[:] = v_new
+
+
+def _pallas_update_multi(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
+                         lvl, rowmap, T: int, tb: int, w: int, b1: float,
+                         b2: float, eps: float):
+    R = p128.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0)),
+            pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0)),
+            pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0)),
+            pl.BlockSpec((1, w), lambda t, o, s, l, rm: (0, o[t])),
+            pl.BlockSpec((1, w), lambda t, o, s, l, rm: (0, o[t] + 1)),
+            pl.BlockSpec((w, 128), lambda t, o, s, l, rm: (o[t], 0)),
+            pl.BlockSpec((w, 128), lambda t, o, s, l, rm: (o[t], 0)),
+            pl.BlockSpec((w, 128), lambda t, o, s, l, rm: (o[t] + 1, 0)),
+            pl.BlockSpec((w, 128), lambda t, o, s, l, rm: (o[t] + 1, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0)),
+            pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0)),
+            pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_multi, tb=tb, w=w, b1=b1, b2=b2, eps=eps),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)] * 3,
+        # in-place p/m/v update — same aliasing rationale as _pallas_update
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(offs, scal, lvl, rowmap, p128, m128, v128, prow_p, prow_p, g_hi, g_lo,
+      g_hi, g_lo)
+
+
+def choose_tiles_multi(Rs: Sequence[int], M: int) -> Tuple[int, int]:
+    """Static (tile rows, window block) for the fused multi-level kernel.
+
+    ``tb`` must divide every level's packed-row count so no tile straddles
+    a level boundary (tiles carry a single per-level learning rate)."""
+    tb = min(512, min(Rs))
+    while any(R % tb for R in Rs):
+        tb //= 2
+    R_tot = sum(Rs)
+    exp = max(256, 4 * M * tb // max(R_tot, 1))
+    w = 256
+    while w < exp:
+        w *= 2
+    return tb, w
+
+
+def _xla_update_lanes_lr(p128, m128, v128, rows, g128, lr, bc1, bc2,
+                         D: int, b1: float, b2: float, eps: float):
+    gd = jnp.zeros_like(p128).at[rows // (128 // D)].add(g128)
+    m = b1 * m128 + (1.0 - b1) * gd
+    v = b2 * v128 + (1.0 - b2) * gd * gd
+    p = p128 - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+    return p, m, v
+
+
+def fused_adam_packed_multi(
+    p128: jnp.ndarray,
+    m128: jnp.ndarray,
+    v128: jnp.ndarray,
+    rows_list: Sequence[jnp.ndarray],
+    g128_list: Sequence[jnp.ndarray],
+    lr: jnp.ndarray,
+    bc1: jnp.ndarray,
+    bc2: jnp.ndarray,
+    shapes: Sequence[Tuple[int, int]],
+    lr_scales: Sequence[float],
+    b1: float = 0.9,
+    b2: float = 0.99,
+    eps: float = 1e-15,
+    use_pallas: bool = True,
+    n_used: Sequence[int] | None = None,
+):
+    """Dense-Adam step on ALL levels' packed tables concatenated into one
+    (R_tot, 128) array, in one kernel dispatch.
+
+    ``rows_list[i]`` are level-LOCAL corner rows (M_i,), ``g128_list[i]``
+    the matching (M_i, 128) lane-aligned gradients (``lanefold`` backward).
+    ``shapes`` gives each level's logical (C_i, D); ``lr_scales`` the static
+    per-level multiplier (lr_level_reduce_ratio ** i).  ``n_used`` (static,
+    per level) promises non-trash rows < n_used[i]: the grid skips each
+    level's capacity-headroom tiles (see :func:`fused_adam_packed`).
+    Semantics are identical to calling :func:`fused_adam_packed` per level
+    slice.
+    """
+    L = len(shapes)
+    D = shapes[0][1]
+    PACK = 128 // D
+    Rs = [C * d // 128 for C, d in shapes]
+    roffs = np.concatenate([[0], np.cumsum(Rs)]).astype(np.int32)
+    R_tot = int(roffs[-1])
+
+    if not (use_pallas and _HAS_PALLAS
+            and all(packable(C, d) and d == D for C, d in shapes)):
+        # CPU / fallback: per-level slice update (static offsets -> free)
+        p_out, m_out, v_out = [], [], []
+        for i, (C_i, D_i) in enumerate(shapes):
+            lo, hi = int(roffs[i]), int(roffs[i + 1])
+            p_i, m_i, v_i = _xla_update_lanes_lr(
+                p128[lo:hi], m128[lo:hi], v128[lo:hi],
+                rows_list[i], g128_list[i], lr * lr_scales[i], bc1, bc2,
+                D_i, b1, b2, eps,
+            )
+            p_out.append(p_i)
+            m_out.append(m_i)
+            v_out.append(v_i)
+        return (jnp.concatenate(p_out), jnp.concatenate(m_out),
+                jnp.concatenate(v_out))
+
+    M_tot = sum(int(r.shape[0]) for r in rows_list)
+    tb, w = choose_tiles_multi(Rs, M_tot)
+
+    # per-level used-head row counts (tile-aligned; see used_rows_hint)
+    Rus = list(Rs)
+    if n_used is not None:
+        for i, (C_i, D_i) in enumerate(shapes):
+            if n_used[i] < C_i:
+                ru = ((n_used[i] * D_i // 128) + tb - 1) // tb * tb
+                Rus[i] = max(min(Rs[i], ru), tb)
+
+    # per-level trash spreading (missed-lookup rows carry exactly-zero
+    # grads; see fused_adam_packed) then globalize the packed-row ids
+    prows, gs = [], []
+    for i, (C_i, _) in enumerate(shapes):
+        rows_i = rows_list[i]
+        g_i = g128_list[i]
+        M_i = rows_i.shape[0]
+        trash = rows_i == C_i - 1
+        spread = jnp.arange(M_i, dtype=jnp.int32) % max(Rus[i] - 1, 1)
+        prow_i = jnp.where(trash, spread,
+                           (rows_i // PACK).astype(jnp.int32))
+        prows.append(prow_i + int(roffs[i]))
+        gs.append(jnp.where(trash[:, None], 0.0, g_i))
+    prow_u = jnp.concatenate(prows)
+    g128 = jnp.concatenate(gs)
+    M = prow_u.shape[0]
+
+    hints = dict(unique_indices=True, mode="promise_in_bounds")
+    order = jnp.argsort(prow_u)
+    prow = prow_u.at[order].get(**hints)
+    g128 = g128.at[order].get(**hints)
+    g_hi = g128.astype(jnp.bfloat16)
+    g_lo = (g128 - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    Mpad = ((M + w - 1) // w) * w + w
+    prow_p = jnp.full((1, Mpad), -1, jnp.int32).at[0, :M].set(prow)
+    pad_g = jnp.zeros((Mpad - M, 128), jnp.bfloat16)
+    g_hi = jnp.concatenate([g_hi, pad_g], axis=0)
+    g_lo = jnp.concatenate([g_lo, pad_g], axis=0)
+
+    # static tile -> (global block, level) maps over USED tiles only
+    rowmap_np = np.concatenate([
+        roffs[i] // tb + np.arange(Rus[i] // tb, dtype=np.int32)
+        for i in range(L)
+    ]).astype(np.int32)
+    lvl_np = np.repeat(np.arange(L, dtype=np.int32),
+                       [ru // tb for ru in Rus]).astype(np.int32)
+    T = int(rowmap_np.shape[0])
+
+    starts = jnp.asarray(rowmap_np.astype(np.int64) * tb, jnp.int32)
+    wstart = jnp.searchsorted(prow, starts).astype(jnp.int32)
+    wend = jnp.searchsorted(prow, starts + tb).astype(jnp.int32)
+    offs = jnp.minimum(wstart // w, Mpad // w - 2).astype(jnp.int32)
+    # each tile's entries must fit its two w-blocks, and every entry must
+    # belong to some visited tile (coverage == M; violated only if the
+    # n_used promise is wrong) — else the XLA full sweep handles it
+    ok = jnp.logical_and(
+        jnp.all(wend <= offs * w + 2 * w),
+        jnp.sum(wend - wstart) == M,
+    )
+
+    lvl = jnp.asarray(lvl_np)
+    rowmap = jnp.asarray(rowmap_np)
+    scal = jnp.concatenate([
+        jnp.stack([lr, bc1, bc2]).astype(jnp.float32),
+        lr * jnp.asarray(list(lr_scales), jnp.float32),
+    ])
+
+    def do_pallas(args):
+        p128, m128, v128 = args
+        return tuple(_pallas_update_multi(
+            p128, m128, v128, prow_p, g_hi, g_lo, offs, scal, lvl, rowmap,
+            T, tb, w, b1, b2, eps,
+        ))
+
+    def do_xla(args):
+        p128, m128, v128 = args
+        p_out, m_out, v_out = [], [], []
+        for i in range(L):
+            lo, hi = int(roffs[i]), int(roffs[i + 1])
+            p_i, m_i, v_i = _xla_update_lanes_lr(
+                p128[lo:hi], m128[lo:hi], v128[lo:hi],
+                rows_list[i], g128_list[i], lr * lr_scales[i], bc1, bc2,
+                D, b1, b2, eps,
+            )
+            p_out.append(p_i)
+            m_out.append(m_i)
+            v_out.append(v_i)
+        return (jnp.concatenate(p_out), jnp.concatenate(m_out),
+                jnp.concatenate(v_out))
+
+    return jax.lax.cond(ok, do_pallas, do_xla, (p128, m128, v128))
 
 
 # ------------------------------------------------------------------ wrapper
@@ -237,6 +491,24 @@ def choose_tiles(C: int, D: int, M: int) -> Tuple[int, int]:
     return tb, w
 
 
+def used_rows_hint(n_corners, shapes, granularity: int = 16):
+    """Static per-level used-row counts, bucketed to limit recompiles.
+
+    ``n_corners[i]`` is the host-known allocated corner count of level i;
+    rows >= n_corners never appear in lookups (corner ids are allocated
+    densely from 0) and keep m = v = 0 and zero gradients, so dense Adam
+    leaves them bit-exactly unchanged — the kernel can skip their tiles
+    (the capacity headroom after doubling, ~25-50% of the sweep).  Counts
+    round UP to capacity/granularity so a growing map (incremental mode)
+    recompiles at most ``granularity`` times per capacity level.
+    """
+    out = []
+    for n, (C, _) in zip(n_corners, shapes):
+        step = max(C // granularity, 1)
+        out.append(int(min(C, ((int(n) + step - 1) // step) * step)))
+    return tuple(out)
+
+
 def fused_adam_packed(
     p128: jnp.ndarray,
     m128: jnp.ndarray,
@@ -253,6 +525,7 @@ def fused_adam_packed(
     eps: float = 1e-15,
     use_pallas: bool = True,
     lanes: bool = False,
+    n_used: int | None = None,
 ):
     """Dense-Adam step on a packed (R,128) table with sparse gradient
     entries ``rows`` (M,) int32 (unsorted, duplicates fine; trashbin rows
@@ -260,6 +533,11 @@ def fused_adam_packed(
     (M, 128) whole-lane-row gradients as emitted by the ``lanefold``
     backward (nonzero only in each entry's D slot lanes), skipping the
     in-wrapper lane spread entirely.
+
+    ``n_used`` (static) promises every non-trash row < n_used: the kernel
+    grid then only visits the used head of the table — the in-place
+    aliasing leaves the headroom tiles untouched, which dense Adam would
+    leave bit-identical anyway (zero moments, zero grads).
 
     Returns updated (p128, m128, v128).
     """
@@ -274,17 +552,23 @@ def fused_adam_packed(
     PACK = 128 // D
     R = C * D // 128
     tb, w = choose_tiles(C, D, M)
-    T = R // tb
+    # visit only tiles that can hold touched rows (see n_used docstring)
+    R_used = R
+    if n_used is not None and n_used < C:
+        R_used = min(R, ((n_used * D // 128) + tb - 1) // tb * tb)
+        R_used = max(R_used, tb)
+    T = R_used // tb
 
     # trashbin entries (missed lookups) all target row C-1 and would pile
     # thousands of entries into the last tile, overflowing its window and
     # forcing the slow fallback every iteration.  Their gradients are
     # exactly zero by construction (found-masked interpolation weights), so
-    # spread them uniformly over the table and zero them defensively.
+    # spread them uniformly over the (visited) table and zero them
+    # defensively.
     trash = rows == C - 1
     hints = dict(unique_indices=True, mode="promise_in_bounds")
     if lanes:
-        spread_p = jnp.arange(M, dtype=jnp.int32) % max(R - 1, 1)
+        spread_p = jnp.arange(M, dtype=jnp.int32) % max(R_used - 1, 1)
         prow_u = jnp.where(trash, spread_p,
                            (rows // PACK).astype(jnp.int32))
         g128 = jnp.where(trash[:, None], 0.0, grads)
@@ -292,7 +576,8 @@ def fused_adam_packed(
         prow = prow_u.at[order].get(**hints)
         g128 = g128.at[order].get(**hints)
     else:
-        spread = (jnp.arange(M, dtype=rows.dtype) * PACK) % (C - 1)
+        spread = (jnp.arange(M, dtype=rows.dtype) * PACK) % max(
+            min(C - 1, R_used * PACK - 1), 1)
         rows = jnp.where(trash, spread, rows)
         grads = jnp.where(trash[:, None], 0.0, grads)
 
@@ -318,15 +603,20 @@ def fused_adam_packed(
     wstart = jnp.searchsorted(prow, bounds).astype(jnp.int32)
     offs = jnp.minimum(wstart[:-1] // w, Mpad // w - 2).astype(jnp.int32)
     # every tile's entries must fit its two w-blocks; a pathologically
-    # clustered batch falls back to the XLA formulation
+    # clustered batch falls back to the XLA formulation.  With n_used, all
+    # entries must also land in visited tiles (violated only if the caller's
+    # promise is wrong — then the fallback full sweep still gives the right
+    # answer).
     ok = jnp.all(wstart[1:] <= offs * w + 2 * w)
+    if R_used < R:
+        ok = jnp.logical_and(ok, wstart[-1] == M)
     scal = jnp.stack([lr, bc1, bc2, jnp.float32(0)]).astype(jnp.float32)
 
     def do_pallas(args):
         p128, m128, v128 = args
         return tuple(_pallas_update(
             p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
-            tb, w, b1, b2, eps,
+            tb, w, b1, b2, eps, R_used=R_used,
         ))
 
     def do_xla(args):

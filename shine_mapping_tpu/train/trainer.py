@@ -98,6 +98,16 @@ class TrainSettings:
     #   "dense": plain autodiff + dense Adam (reference formulation; slow —
     #            autodiff's scatter does not fuse).  Fallback for SGD.
     feature_update: str = "fused"
+    # pallas single-chip: one kernel dispatch over ALL levels' concatenated
+    # packed tables (prep tax paid once) vs one dispatch per level.  Off by
+    # default: the gradient concat costs more than the saved prep at bench
+    # scale (experiments/exp_fuse_ab.py, 12.3 vs 11.9 ms/iter)
+    fuse_update_levels: bool = False
+    # static per-level allocated-corner counts (adam_kernel.used_rows_hint):
+    # the pallas sweep skips each table's capacity-headroom tiles, which
+    # dense Adam leaves bit-identical anyway (zero moments, zero grads).
+    # None = sweep full capacity.
+    n_used: Optional[Tuple[int, ...]] = None
 
     @classmethod
     def from_config(cls, cfg, levels: Tuple[int, ...], **overrides) -> "TrainSettings":
@@ -135,9 +145,20 @@ class TrainSettings:
             lr_iters_reduce_ratio=cfg.lr_iters_reduce_ratio,
             lr_decay_step=tuple(cfg.lr_decay_step),
             feature_update=getattr(cfg, "feature_update", "fused"),
+            fuse_update_levels=getattr(cfg, "fuse_update_levels", False),
         )
         kw.update(overrides)
         return cls(**kw)
+
+
+def used_rows_for(grid, granularity: int = 16) -> Tuple[int, ...]:
+    """Per-level used-corner hints for TrainSettings.n_used (the pallas
+    sweep skips capacity-headroom tiles — adam_kernel.used_rows_hint)."""
+    return adam_kernel.used_rows_hint(
+        [hl.n_corners for hl in grid.host_levels],
+        [tuple(f.shape) for f in grid.features],
+        granularity,
+    )
 
 
 def init_params(cfg, grid, key: jax.Array) -> Dict[str, Any]:
@@ -489,6 +510,27 @@ def _unpack_feats_jit(feats, shapes):
     return tuple(f.reshape(sh) for f, sh in zip(feats, shapes))
 
 
+@functools.partial(jax.jit, donate_argnames=("feats",))
+def _pack_feats_fused_jit(feats):
+    """All levels' (C,D) tables -> ONE concatenated packed (R_tot, 128)
+    array: the single-chip pallas path updates every level in one kernel
+    dispatch (adam_kernel.fused_adam_packed_multi), paying the prep tax
+    (argsort/reorder/bf16-split/pad/cond) once per iteration, not per
+    level."""
+    return jnp.concatenate([f.reshape(-1, 128) for f in feats], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("shapes",), donate_argnames=("fused",))
+def _unpack_feats_fused_jit(fused, shapes):
+    out = []
+    lo = 0
+    for C, D in shapes:
+        R = C * D // 128
+        out.append(fused[lo:lo + R].reshape(C, D))
+        lo += R
+    return tuple(out)
+
+
 def train_chunk(
     params,
     opt_state: OptState,
@@ -522,26 +564,37 @@ def train_chunk(
     """
     feat_shapes = tuple(tuple(f.shape) for f in params["features"])
     mode = _resolve_mode(settings, feat_shapes, batch_sharding)
+    # single-chip pallas: concatenate all levels into one packed array so
+    # the update is ONE kernel dispatch (multi-chip keeps per-level arrays:
+    # the shard_map island + narrow all-gather is per level)
+    fuse_tables = (mode == "pallas" and batch_sharding is None
+                   and settings.fuse_update_levels)
     if mode == "pallas":
-        params = dict(params, features=_pack_feats_jit(params["features"]))
+        pack = _pack_feats_fused_jit if fuse_tables else _pack_feats_jit
+        params = dict(params, features=pack(params["features"]))
         opt_state = OptState(
-            m=dict(opt_state.m, features=_pack_feats_jit(opt_state.m["features"])),
-            v=dict(opt_state.v, features=_pack_feats_jit(opt_state.v["features"])),
+            m=dict(opt_state.m, features=pack(opt_state.m["features"])),
+            v=dict(opt_state.v, features=pack(opt_state.v["features"])),
             step=opt_state.step,
         )
     params, opt_state, aux = _train_chunk_impl(
         params, opt_state, tables, pool, shadow, n_valid, start_iter, key,
         settings, n_iters, batch_sharding, mode, feat_shapes, pre_lookups,
+        fuse_tables,
     )
     if mode == "pallas":
+        if fuse_tables:
+            unpack = _unpack_feats_fused_jit
+        else:
+            unpack = _unpack_feats_jit
         params = dict(
-            params, features=_unpack_feats_jit(params["features"], feat_shapes)
+            params, features=unpack(params["features"], feat_shapes)
         )
         opt_state = OptState(
             m=dict(opt_state.m,
-                   features=_unpack_feats_jit(opt_state.m["features"], feat_shapes)),
+                   features=unpack(opt_state.m["features"], feat_shapes)),
             v=dict(opt_state.v,
-                   features=_unpack_feats_jit(opt_state.v["features"], feat_shapes)),
+                   features=unpack(opt_state.v["features"], feat_shapes)),
             step=opt_state.step,
         )
     return params, opt_state, aux
@@ -549,7 +602,8 @@ def train_chunk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "n_iters", "batch_sharding", "mode", "feat_shapes"),
+    static_argnames=("settings", "n_iters", "batch_sharding", "mode",
+                     "feat_shapes", "fuse_tables"),
     donate_argnames=("params", "opt_state"),
 )
 def _train_chunk_impl(
@@ -567,6 +621,7 @@ def _train_chunk_impl(
     mode: str = "fused",
     feat_shapes=(),
     pre_lookups=None,
+    fuse_tables: bool = False,
 ):
     s = settings
     lr_scale_tree, wd_tree = make_group_trees(
@@ -580,6 +635,12 @@ def _train_chunk_impl(
             )
 
     use_pallas_kernel = adam_kernel.on_tpu()
+    # static per-level packed-row offsets into the fused (R_tot, 128) table
+    feat_roffs = []
+    off = 0
+    for C, D in feat_shapes:
+        feat_roffs.append(off)
+        off += C * D // 128
 
     if mode == "sparse":
         # pack [p|m|v] side by side: one gather + one scatter per level
@@ -754,10 +815,19 @@ def _train_chunk_impl(
             # iteration (+7 ms/level), and extracting the narrow (B,8,D)
             # rows via take_along_axis costs ~4 ms/level; the lane select
             # instead folds into the interpolation (lanefold, via fac slots)
-            f = params["features"][i]
             if mode == "pallas":
-                return adam_kernel.gather_lanerows(f, c_i, feat_shapes[i][1])
-            return f[c_i]
+                D_i = feat_shapes[i][1]
+                if fuse_tables:
+                    # level-local corner rows -> global packed-row space
+                    # (roffs[i] packed rows per preceding level)
+                    return adam_kernel.gather_lanerows(
+                        params["features"],
+                        c_i + feat_roffs[i] * (128 // D_i), D_i,
+                    )
+                return adam_kernel.gather_lanerows(
+                    params["features"][i], c_i, D_i
+                )
+            return params["features"][i][c_i]
 
         def lookups(c):
             corners, found, G = [], [], []
@@ -830,6 +900,38 @@ def _train_chunk_impl(
         bc2 = 1.0 - 0.99 ** t
         new_feats, new_m, new_v = [], [], []
         reg_total = jnp.zeros((), jnp.float32)
+        if mode == "pallas" and fuse_tables:
+            # all levels in ONE kernel dispatch over the concatenated table:
+            # per-level lr rides a scalar-prefetched tile->level map
+            rows_list, g_list = [], []
+            for i in range(len(s.levels)):
+                rows = corners[i].reshape(-1)
+                g = g_G[i].reshape(-1, 128)
+                if s.consistency_loss_on:
+                    rows = jnp.concatenate(
+                        [rows, fac["near_corners"][i].reshape(-1)])
+                    g = jnp.concatenate([g, g_Gn[i].reshape(-1, 128)])
+                rows_list.append(rows)
+                g_list.append(g)
+            lr_scales = tuple(
+                s.lr_level_reduce_ratio ** i for i in range(len(s.levels))
+            )
+            f_n, m_n, v_n = adam_kernel.fused_adam_packed_multi(
+                params["features"],
+                opt_state.m["features"],
+                opt_state.v["features"],
+                rows_list, g_list, lr, bc1, bc2, feat_shapes, lr_scales,
+                eps=s.adam_eps, use_pallas=use_pallas_kernel,
+                n_used=s.n_used,
+            )
+            params = dict(new_dense)
+            params["features"] = f_n
+            opt_state = OptState(
+                m=dict(dense_state.m, features=m_n),
+                v=dict(dense_state.v, features=v_n),
+                step=dense_state.step,
+            )
+            return (params, opt_state, key), aux
         if mode == "pallas":
             for i in range(len(s.levels)):
                 C_i, D_i = feat_shapes[i]
@@ -853,11 +955,12 @@ def _train_chunk_impl(
                     P = jax.sharding.PartitionSpec
 
                     def upd(p_, m_, v_, rows_, g_, lr_, bc1_, bc2_,
-                            C_i=C_i, D_i=D_i):
+                            C_i=C_i, D_i=D_i, i=i):
                         return adam_kernel.fused_adam_packed(
                             p_, m_, v_, rows_, g_, lr_, bc1_, bc2_,
                             C_i, D_i, eps=s.adam_eps,
                             use_pallas=use_pallas_kernel, lanes=False,
+                            n_used=s.n_used[i] if s.n_used else None,
                         )
 
                     f_n, m_n, v_n = jax.shard_map(
@@ -877,6 +980,7 @@ def _train_chunk_impl(
                         rows, g, level_lr, bc1, bc2, C_i, D_i,
                         eps=s.adam_eps, use_pallas=use_pallas_kernel,
                         lanes=True,
+                        n_used=s.n_used[i] if s.n_used else None,
                     )
                 new_feats.append(f_n)
                 new_m.append(m_n)

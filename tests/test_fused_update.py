@@ -185,6 +185,58 @@ def test_adam_kernel_xla_twin_matches_scatter_reference():
     np.testing.assert_allclose(np.asarray(v2).reshape(C, D), v_ref, atol=1e-5)
 
 
+def test_adam_kernel_multi_matches_per_level():
+    """fused_adam_packed_multi over concatenated levels == per-level
+    fused_adam_packed with each level's own learning rate."""
+    from shine_mapping_tpu.ops import adam_kernel
+
+    rng = np.random.default_rng(1)
+    D = 8
+    shapes = ((1 << 12, D), (1 << 11, D), (1 << 11, D))
+    lr_scales = (1.0, 0.7, 0.49)
+    lr, bc1, bc2 = jnp.float32(0.02), jnp.float32(0.4), jnp.float32(0.6)
+
+    p_l, m_l, v_l, rows_l, g_l = [], [], [], [], []
+    for C, _ in shapes:
+        p_l.append(rng.normal(size=(C * D // 128, 128)).astype(np.float32))
+        m_l.append(0.1 * rng.normal(size=(C * D // 128, 128)).astype(np.float32))
+        v_l.append(np.abs(rng.normal(size=(C * D // 128, 128))).astype(np.float32) * 0.01)
+        M = 2048
+        rows = rng.integers(0, C, M).astype(np.int32)  # incl. trashbin C-1
+        g128 = np.zeros((M, 128), np.float32)
+        narrow = rng.normal(size=(M, D)).astype(np.float32)
+        narrow[rows == C - 1] = 0.0  # trashbin grads are zero by construction
+        for k in range(M):  # lane-aligned layout (lanefold backward)
+            s = (rows[k] % (128 // D)) * D
+            g128[k, s:s + D] = narrow[k]
+        rows_l.append(rows)
+        g_l.append(g128)
+
+    p_all, m_all, v_all = (jnp.concatenate([jnp.asarray(x) for x in xs])
+                           for xs in (p_l, m_l, v_l))
+    p2, m2, v2 = adam_kernel.fused_adam_packed_multi(
+        p_all, m_all, v_all,
+        [jnp.asarray(r) for r in rows_l], [jnp.asarray(g) for g in g_l],
+        lr, bc1, bc2, shapes, lr_scales, use_pallas=False,
+    )
+
+    lo = 0
+    for i, (C, _) in enumerate(shapes):
+        R = C * D // 128
+        pe, me, ve = adam_kernel.fused_adam_packed(
+            jnp.asarray(p_l[i]), jnp.asarray(m_l[i]), jnp.asarray(v_l[i]),
+            jnp.asarray(rows_l[i]), jnp.asarray(g_l[i]),
+            lr * lr_scales[i], bc1, bc2, C, D, lanes=True, use_pallas=False,
+        )
+        np.testing.assert_allclose(np.asarray(p2[lo:lo + R]), np.asarray(pe),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(m2[lo:lo + R]), np.asarray(me),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(v2[lo:lo + R]), np.asarray(ve),
+                                   rtol=1e-6, atol=1e-7)
+        lo += R
+
+
 def test_fused_continual_reg_matches_sparse_reg_value():
     """Fused and sparse continual-reg paths compute the same penalty on the
     same touched rows (model/feature_octree.py:246-255 semantics)."""
@@ -211,3 +263,45 @@ def test_fused_continual_reg_matches_sparse_reg_value():
         out[mode] = float(aux["mean"]["reg_loss"])
     assert out["fused"] > 0
     np.testing.assert_allclose(out["fused"], out["sparse"], rtol=1e-4)
+
+
+def test_used_rows_hint_and_n_used_equivalence():
+    """used_rows_hint buckets correctly, and a pallas-mode run with n_used
+    set produces the same trajectory as without (headroom rows carry zero
+    moments and zero grads, so skipping their sweep is exact; the real-chip
+    bit-equality check is experiments/exp_used_rows.py)."""
+    from shine_mapping_tpu.ops import adam_kernel
+
+    C = 1 << 16
+    hint = adam_kernel.used_rows_hint((40_000, C), ((C, 8), (C, 8)),
+                                      granularity=16)
+    step = C // 16
+    assert hint[0] % step == 0 and 40_000 <= hint[0] < C
+    assert hint[1] == C  # full tables stay full
+
+    pool, surf = make_sphere_pool(2000, seed=5)
+    cfg = default_cfg(bs=1024)
+    grid, _, params, _, dev_pool, n_valid = build(cfg, pool, surf)
+    base = trainer.TrainSettings.from_config(
+        cfg, grid.levels, sigma_sigmoid=0.05, feature_update="pallas",
+    )
+    used = trainer.used_rows_for(grid, granularity=16)
+    caps = tuple(f.shape[0] for f in grid.features)
+    settings_u = trainer.TrainSettings.from_config(
+        cfg, grid.levels, sigma_sigmoid=0.05, feature_update="pallas",
+        n_used=used,
+    )
+    assert all(u <= c for u, c in zip(used, caps))
+    p_a, o_a, aux_a = _run(cfg, grid, base, params, dev_pool, n_valid)
+    p_b, o_b, aux_b = _run(cfg, grid, settings_u, params, dev_pool, n_valid)
+    np.testing.assert_allclose(
+        float(aux_a["mean"]["total_loss"]), float(aux_b["mean"]["total_loss"]),
+        rtol=1e-6,
+    )
+    for i in range(len(p_a["features"])):
+        np.testing.assert_array_equal(
+            np.asarray(p_a["features"][i]), np.asarray(p_b["features"][i]))
+        np.testing.assert_array_equal(
+            np.asarray(o_a.m["features"][i]), np.asarray(o_b.m["features"][i]))
+        np.testing.assert_array_equal(
+            np.asarray(o_a.v["features"][i]), np.asarray(o_b.v["features"][i]))
