@@ -119,15 +119,19 @@ def main() -> None:
     )
 
     def run_variant(mode: str) -> float:
+        # "pallas_bf16m" = pallas update with bfloat16 Adam moments
+        # (tpu.moments_bf16 — halves the sweep's m/v traffic; documented
+        # semantics delta, quality-parity tested)
+        bf16m = mode == "pallas_bf16m"
         settings = trainer.TrainSettings.from_config(
-            cfg, grid.levels, feature_update=mode,
+            cfg, grid.levels, feature_update="pallas" if bf16m else mode,
             n_used=trainer.used_rows_for(grid, granularity=64),
         )
         params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
         # train_chunk donates params; keep grid.features intact for the
         # other variant by copying
         params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
-        opt_state = init_opt_state(params)
+        opt_state = init_opt_state(params, moments_bf16=bf16m)
         shadow = trainer.empty_shadow(params["features"])
         key = jax.random.PRNGKey(1)
         times = []
@@ -158,7 +162,8 @@ def main() -> None:
     # the sweep (dev loop only; the driver-run default measures all three).
     import os
 
-    modes = os.environ.get("SHINE_BENCH_MODES", "pallas,fused,sparse")
+    modes = os.environ.get("SHINE_BENCH_MODES",
+                           "pallas,pallas_bf16m,fused,sparse")
     chunk_t = min(run_variant(m) for m in modes.split(","))
 
     pts_per_s = n_iters * cfg.bs / chunk_t

@@ -100,7 +100,10 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
             n_used=trainer.used_rows_for(grid, granularity=8),
         )
         # optimizer rebuilt per frame over the grown structure
-        opt_state = init_opt_state(params)
+        opt_state = init_opt_state(
+            params,
+            moments_bf16=cfg.moments_bf16 and cfg.feature_update == "pallas",
+        )
 
         capacity = pool_capacity_for(len(dataset.pool), 1 << 17)
         dev_pool, n_valid = trainer.pool_to_device(dataset.pool, capacity, settings)

@@ -216,6 +216,12 @@ class SHINEConfig:
     # experiments/exp_fuse_ab.py), so off by default; kept for bigger
     # batches where the prep tax dominates.
     fuse_update_levels: bool = False
+    # store the feature tables' Adam moments in bfloat16 (compute stays
+    # f32): halves the m/v HBM traffic of the dense sweep.  Opt-in
+    # semantics delta vs the reference's f32 torch Adam (quantized moment
+    # carry); quality parity verified e2e in tests/test_fused_update.py.
+    # pallas feature_update only.
+    moments_bf16: bool = False
     # resolve corner ids for the whole device pool once per run (the
     # batch-mode structure is frozen; invalidated on pool rotation):
     # per-iteration hash probes become plain gathers.  Batch driver only;
@@ -333,6 +339,7 @@ class SHINEConfig:
         self.feature_update = opt("tpu", "feature_update", self.feature_update)
         self.fuse_update_levels = opt(
             "tpu", "fuse_update_levels", self.fuse_update_levels)
+        self.moments_bf16 = opt("tpu", "moments_bf16", self.moments_bf16)
         self.precompute_lookups = opt(
             "tpu", "precompute_lookups", self.precompute_lookups)
         self.coordinator = opt("tpu", "coordinator", self.coordinator)

@@ -79,11 +79,12 @@ def _kernel(offs_ref, scal_ref, p_ref, m_ref, v_ref,
         + jnp.dot(A1, g1h_ref[:], preferred_element_type=jnp.float32)
         + jnp.dot(A1, g1l_ref[:], preferred_element_type=jnp.float32)
     )
-    m_new = b1 * m_ref[:] + (1.0 - b1) * gtile
-    v_new = b2 * v_ref[:] + (1.0 - b2) * gtile * gtile
+    # moments may be stored bf16 (tpu.moments_bf16): compute f32, store back
+    m_new = b1 * m_ref[:].astype(jnp.float32) + (1.0 - b1) * gtile
+    v_new = b2 * v_ref[:].astype(jnp.float32) + (1.0 - b2) * gtile * gtile
     po_ref[:] = p_ref[:] - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
-    mo_ref[:] = m_new
-    vo_ref[:] = v_new
+    mo_ref[:] = m_new.astype(mo_ref.dtype)
+    vo_ref[:] = v_new.astype(vo_ref.dtype)
 
 
 def _pallas_update(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
@@ -117,7 +118,11 @@ def _pallas_update(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
     return pl.pallas_call(
         functools.partial(_kernel, tb=tb, w=w, b1=b1, b2=b2, eps=eps),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R, 128), m128.dtype),
+            jax.ShapeDtypeStruct((R, 128), v128.dtype),
+        ],
         # update p/m/v IN PLACE: without aliasing, any other consumer of the
         # tables in the same scan body (the forward corner gather) makes XLA
         # copy all three full tables back into the loop carry every
@@ -161,11 +166,11 @@ def _kernel_multi(offs_ref, scal_ref, lvl_ref, rowmap_ref, p_ref, m_ref,
         + jnp.dot(A1, g1h_ref[:], preferred_element_type=jnp.float32)
         + jnp.dot(A1, g1l_ref[:], preferred_element_type=jnp.float32)
     )
-    m_new = b1 * m_ref[:] + (1.0 - b1) * gtile
-    v_new = b2 * v_ref[:] + (1.0 - b2) * gtile * gtile
+    m_new = b1 * m_ref[:].astype(jnp.float32) + (1.0 - b1) * gtile
+    v_new = b2 * v_ref[:].astype(jnp.float32) + (1.0 - b2) * gtile * gtile
     po_ref[:] = p_ref[:] - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
-    mo_ref[:] = m_new
-    vo_ref[:] = v_new
+    mo_ref[:] = m_new.astype(mo_ref.dtype)
+    vo_ref[:] = v_new.astype(vo_ref.dtype)
 
 
 def _pallas_update_multi(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
@@ -195,7 +200,11 @@ def _pallas_update_multi(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
     return pl.pallas_call(
         functools.partial(_kernel_multi, tb=tb, w=w, b1=b1, b2=b2, eps=eps),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R, 128), m128.dtype),
+            jax.ShapeDtypeStruct((R, 128), v128.dtype),
+        ],
         # in-place p/m/v update — same aliasing rationale as _pallas_update
         input_output_aliases={4: 0, 5: 1, 6: 2},
         compiler_params=pltpu.CompilerParams(
@@ -224,10 +233,10 @@ def choose_tiles_multi(Rs: Sequence[int], M: int) -> Tuple[int, int]:
 def _xla_update_lanes_lr(p128, m128, v128, rows, g128, lr, bc1, bc2,
                          D: int, b1: float, b2: float, eps: float):
     gd = jnp.zeros_like(p128).at[rows // (128 // D)].add(g128)
-    m = b1 * m128 + (1.0 - b1) * gd
-    v = b2 * v128 + (1.0 - b2) * gd * gd
+    m = b1 * m128.astype(jnp.float32) + (1.0 - b1) * gd
+    v = b2 * v128.astype(jnp.float32) + (1.0 - b2) * gd * gd
     p = p128 - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-    return p, m, v
+    return p, m.astype(m128.dtype), v.astype(v128.dtype)
 
 
 def fused_adam_packed_multi(
@@ -386,11 +395,12 @@ def _xla_update(p128, m128, v128, rows, grads, lr, bc1, bc2,
     """Equivalent dense-Adam update in plain XLA (CPU / fallback path)."""
     p = p128.reshape(C, D)
     gd = jnp.zeros_like(p).at[rows].add(grads)
-    m = b1 * m128.reshape(C, D) + (1.0 - b1) * gd
-    v = b2 * v128.reshape(C, D) + (1.0 - b2) * gd * gd
+    m = b1 * m128.reshape(C, D).astype(jnp.float32) + (1.0 - b1) * gd
+    v = b2 * v128.reshape(C, D).astype(jnp.float32) + (1.0 - b2) * gd * gd
     p = p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
     R = p128.shape[0]
-    return p.reshape(R, 128), m.reshape(R, 128), v.reshape(R, 128)
+    return (p.reshape(R, 128), m.reshape(R, 128).astype(m128.dtype),
+            v.reshape(R, 128).astype(v128.dtype))
 
 
 def _xla_update_lanes(p128, m128, v128, rows, g128, lr, bc1, bc2,
@@ -400,10 +410,10 @@ def _xla_update_lanes(p128, m128, v128, rows, g128, lr, bc1, bc2,
     scatter targets packed rows directly.  Off-slot lanes are exactly zero,
     making this bit-equivalent to the narrow scatter up to add order."""
     gd = jnp.zeros_like(p128).at[rows // (128 // D)].add(g128)
-    m = b1 * m128 + (1.0 - b1) * gd
-    v = b2 * v128 + (1.0 - b2) * gd * gd
+    m = b1 * m128.astype(jnp.float32) + (1.0 - b1) * gd
+    v = b2 * v128.astype(jnp.float32) + (1.0 - b2) * gd * gd
     p = p128 - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-    return p, m, v
+    return p, m.astype(m128.dtype), v.astype(v128.dtype)
 
 
 def gather_rows_packed(p128: jnp.ndarray, rows: jnp.ndarray, D: int) -> jnp.ndarray:

@@ -29,9 +29,20 @@ class OptState(NamedTuple):
     step: jnp.ndarray  # int32 scalar
 
 
-def init_opt_state(params: Any) -> OptState:
+def init_opt_state(params: Any, moments_bf16: bool = False) -> OptState:
+    """Zero Adam state.  With ``moments_bf16`` the FEATURE tables' moments
+    are stored bfloat16 (compute stays f32 inside the update kernels) —
+    halves the m/v HBM traffic of the dense sweep; decoder/sigma moments
+    stay f32.  Opt-in via ``tpu.moments_bf16`` (pallas mode only)."""
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-    return OptState(m=zeros, v=jax.tree_util.tree_map(jnp.zeros_like, params), step=jnp.zeros((), jnp.int32))
+    zeros_v = jax.tree_util.tree_map(jnp.zeros_like, params)
+    if moments_bf16 and isinstance(params, dict) and "features" in params:
+        def bf16_feats(t):
+            return tuple(jnp.zeros(f.shape, jnp.bfloat16) for f in t)
+
+        zeros = dict(zeros, features=bf16_feats(params["features"]))
+        zeros_v = dict(zeros_v, features=bf16_feats(params["features"]))
+    return OptState(m=zeros, v=zeros_v, step=jnp.zeros((), jnp.int32))
 
 
 def lr_at_step(

@@ -564,6 +564,14 @@ def train_chunk(
     """
     feat_shapes = tuple(tuple(f.shape) for f in params["features"])
     mode = _resolve_mode(settings, feat_shapes, batch_sharding)
+    if opt_state.m["features"][0].dtype == jnp.bfloat16 and mode != "pallas":
+        # only the pallas update (and its fallbacks) preserves the bf16
+        # moment carry; the other formulations would promote it to f32 and
+        # break the scan carry dtype
+        raise ValueError(
+            "tpu.moments_bf16 requires feature_update: pallas "
+            f"(resolved mode: {mode})"
+        )
     # single-chip pallas: concatenate all levels into one packed array so
     # the update is ONE kernel dispatch (multi-chip keeps per-level arrays:
     # the shard_map island + narrow all-gather is per level)

@@ -305,3 +305,52 @@ def test_used_rows_hint_and_n_used_equivalence():
             np.asarray(o_a.m["features"][i]), np.asarray(o_b.m["features"][i]))
         np.testing.assert_array_equal(
             np.asarray(o_a.v["features"][i]), np.asarray(o_b.v["features"][i]))
+
+
+def test_moments_bf16_quality_parity_and_guard():
+    """bf16 Adam moments (tpu.moments_bf16): dtype-stable carry, loss
+    trajectory at the f32 path's level, and a hard error outside pallas
+    mode (other formulations would promote the carry)."""
+    import pytest
+
+    pool, surf = make_sphere_pool(2000, seed=7)
+    cfg = default_cfg(bs=1024)
+    grid, _, params, _, dev_pool, n_valid = build(cfg, pool, surf)
+    settings = trainer.TrainSettings.from_config(
+        cfg, grid.levels, sigma_sigmoid=0.05, feature_update="pallas",
+    )
+
+    def run(moments_bf16):
+        shadow = trainer.empty_shadow(params["features"])
+        opt = init_opt_state(params, moments_bf16=moments_bf16)
+        return trainer.train_chunk(
+            _copy(params), opt, tuple(grid.tables), dev_pool, shadow,
+            n_valid, jnp.int32(0), jax.random.PRNGKey(2), settings, 40,
+        )
+
+    p32, o32, aux32 = run(False)
+    p16, o16, aux16 = run(True)
+    assert o16.m["features"][0].dtype == jnp.bfloat16
+    assert o16.v["features"][0].dtype == jnp.bfloat16
+    assert p16["features"][0].dtype == jnp.float32
+    l32 = float(aux32["mean"]["total_loss"])
+    l16 = float(aux16["mean"]["total_loss"])
+    # same descent, SGD-noise-level difference from moment quantization
+    np.testing.assert_allclose(l16, l32, rtol=0.02)
+    for i in range(len(p32["features"])):
+        a = np.asarray(p32["features"][i])
+        b = np.asarray(p16["features"][i])
+        # feature drift stays a small fraction of the update magnitude
+        denom = max(np.abs(a - np.asarray(params["features"][i])).max(), 1e-6)
+        assert np.abs(a - b).max() < 0.2 * denom
+
+    settings_f = trainer.TrainSettings.from_config(
+        cfg, grid.levels, sigma_sigmoid=0.05, feature_update="fused",
+    )
+    with pytest.raises(ValueError, match="moments_bf16"):
+        trainer.train_chunk(
+            _copy(params), init_opt_state(params, moments_bf16=True),
+            tuple(grid.tables), dev_pool,
+            trainer.empty_shadow(params["features"]), n_valid, jnp.int32(0),
+            jax.random.PRNGKey(2), settings_f, 2,
+        )
