@@ -219,15 +219,18 @@ def choose_tiles_multi(Rs: Sequence[int], M: int) -> Tuple[int, int]:
 
     ``tb`` must divide every level's packed-row count so no tile straddles
     a level boundary (tiles carry a single per-level learning rate)."""
-    tb = min(512, min(Rs))
-    while any(R % tb for R in Rs):
-        tb //= 2
+    tb0 = min(512, min(Rs))
+    while any(R % tb0 for R in Rs):
+        tb0 //= 2
     R_tot = sum(Rs)
-    exp = max(256, 4 * M * tb // max(R_tot, 1))
-    w = 256
-    while w < exp:
-        w *= 2
-    return tb, w
+    while True:
+        exp = max(256, 4 * M * tb0 // max(R_tot, 1))
+        w = 256
+        while w < exp:
+            w *= 2
+        if 4 * tb0 * w + 2048 * w <= _VMEM_BUDGET or tb0 <= 8:
+            return tb0, w
+        tb0 //= 2
 
 
 def _xla_update_lanes_lr(p128, m128, v128, rows, g128, lr, bc1, bc2,
@@ -488,17 +491,30 @@ def lanes_to_narrow(g128: jnp.ndarray, D: int) -> jnp.ndarray:
     return g128.reshape(g128.shape[:-1] + (PACK, D)).sum(axis=-2)
 
 
-def choose_tiles(C: int, D: int, M: int) -> Tuple[int, int]:
-    """Static (tile rows, window block) sizes for the kernel."""
-    R = C * D // 128
+# VMEM budget for the kernel's working set: the two (tb, w) one-hot bf16
+# matrices (4*tb*w bytes) plus the pipelined hi/lo gradient window blocks
+# (~2048*w bytes).  Shrinking tb shrinks the expected per-tile entry count
+# and hence w, so large batches trade tile height for window width.
+_VMEM_BUDGET = 8 << 20
+
+
+def _fit_tiles(R: int, M: int) -> Tuple[int, int]:
     tb = min(512, R)
     while R % tb:
         tb //= 2
-    exp = max(256, 4 * M * tb // max(R, 1))
-    w = 256
-    while w < exp:
-        w *= 2
-    return tb, w
+    while True:
+        exp = max(256, 4 * M * tb // max(R, 1))
+        w = 256
+        while w < exp:
+            w *= 2
+        if 4 * tb * w + 2048 * w <= _VMEM_BUDGET or tb <= 8:
+            return tb, w
+        tb //= 2
+
+
+def choose_tiles(C: int, D: int, M: int) -> Tuple[int, int]:
+    """Static (tile rows, window block) sizes for the kernel."""
+    return _fit_tiles(C * D // 128, M)
 
 
 def used_rows_hint(n_corners, shapes, granularity: int = 16):
