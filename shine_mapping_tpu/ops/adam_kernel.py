@@ -228,7 +228,7 @@ def choose_tiles_multi(Rs: Sequence[int], M: int) -> Tuple[int, int]:
         w = 256
         while w < exp:
             w *= 2
-        if 4 * tb0 * w + 2048 * w <= _VMEM_BUDGET or tb0 <= 8:
+        if 4 * tb0 * w + 2048 * w <= _VMEM_BUDGET or tb0 <= 16:
             return tb0, w
         tb0 //= 2
 
@@ -303,7 +303,8 @@ def fused_adam_packed_multi(
     if n_used is not None:
         for i, (C_i, D_i) in enumerate(shapes):
             if n_used[i] < C_i:
-                ru = ((n_used[i] * D_i // 128) + tb - 1) // tb * tb
+                need = (n_used[i] * D_i + 127) // 128
+                ru = (need + tb - 1) // tb * tb
                 Rus[i] = max(min(Rs[i], ru), tb)
 
     # per-level trash spreading (missed-lookup rows carry exactly-zero
@@ -507,7 +508,8 @@ def _fit_tiles(R: int, M: int) -> Tuple[int, int]:
         w = 256
         while w < exp:
             w *= 2
-        if 4 * tb * w + 2048 * w <= _VMEM_BUDGET or tb <= 8:
+        # floor 16: bf16 moment blocks need sublane multiples of 16
+        if 4 * tb * w + 2048 * w <= _VMEM_BUDGET or tb <= 16:
             return tb, w
         tb //= 2
 
@@ -581,7 +583,8 @@ def fused_adam_packed(
     # visit only tiles that can hold touched rows (see n_used docstring)
     R_used = R
     if n_used is not None and n_used < C:
-        R_used = min(R, ((n_used * D // 128) + tb - 1) // tb * tb)
+        need = (n_used * D + 127) // 128  # ceil: last used row covered
+        R_used = min(R, (need + tb - 1) // tb * tb)
         R_used = max(R_used, tb)
     T = R_used // tb
 
