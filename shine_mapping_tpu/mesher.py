@@ -93,6 +93,38 @@ def _infer_chunks(
     return jax.lax.map(one, coords_chunks)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "K", "bs", "levels", "poly_on", "check_level", "time_conditioned",
+    "with_sem"))
+def _infer_chunks_grid(
+    geo_params, sem_params, features, tables, origin_s, steps_s, nynz, nz,
+    ts_value, K: int, bs: int, levels: Tuple[int, ...], poly_on: bool,
+    check_level: int, time_conditioned: bool, with_sem: bool,
+):
+    """Dense-grid twin of ``_infer_chunks`` that GENERATES the query
+    coordinates on device (flat index -> (ix, iy, iz) -> scaled coords)
+    instead of uploading a host-built (N, 3) array — the host-side
+    meshgrid/stack alone cost ~40 s for a 9M-point grid on this machine
+    (slow numpy host).  ``origin_s``/``steps_s`` are the scaled-space
+    grid origin and per-axis voxel step; ``nynz``/``nz`` traced divmod
+    constants so grids of any shape share one executable per (K, bs)."""
+
+    def one(k):
+        idx = k * bs + jax.lax.iota(jnp.int32, bs)
+        ix = idx // nynz
+        rem = idx % nynz
+        iy = rem // nz
+        iz = rem % nz
+        ijk = jnp.stack([ix, iy, iz], axis=1).astype(jnp.float32)
+        coord = ijk * steps_s[None, :] + origin_s[None, :]
+        ts = jnp.full((bs,), ts_value, jnp.float32)
+        return _infer_core(geo_params, sem_params, features, tables, coord,
+                           ts, levels, poly_on, check_level,
+                           time_conditioned, with_sem)
+
+    return jax.lax.map(one, jnp.arange(K, dtype=jnp.int32))
+
+
 def _bucket_chunks(k: int) -> int:
     """Round the chunk count up so distinct stack shapes stay few (one
     compiled executable per bucket; <= 12.5% padded compute)."""
@@ -201,12 +233,54 @@ class Mesher:
         )
         return sdf_out, sem_out, mask_out
 
-    # ------------------------------------------------------------------ grids
-    def get_query_from_bbx(self, bbx, voxel_size: float):
-        """Dense grid covering a world-space bbx (utils/mesher.py:110-150).
+    def query_grid(self, voxel_num_xyz, voxel_origin, voxel_size: float,
+                   query_sdf: bool = True, query_sem: bool = False,
+                   query_mask: bool = True):
+        """Dense-grid inference with DEVICE-side coordinate generation.
 
-        bbx: (min_bound, max_bound) arrays in metres.
+        Equivalent to ``get_query_from_bbx`` + ``query_points`` but never
+        materializes the (N, 3) grid on the host (host-side grid
+        construction measured ~40 s for 9M points on this machine) nor
+        uploads it.  Single-controller path; callers needing the host
+        coords (sdf-map export) or dp_mesh sharding use the explicit pair.
         """
+        n = int(np.prod(voxel_num_xyz))
+        bs = self.config.infer_bs
+        K = _bucket_chunks(math.ceil(n / bs))
+        check_level = min(self.grid.featured_level_num,
+                          self.config.mc_vis_level) - 1
+        step = voxel_size * self.world_scale
+        origin_s = jnp.asarray(
+            np.asarray(voxel_origin, np.float64) * self.world_scale,
+            jnp.float32,
+        )
+        steps_s = jnp.full((3,), step, jnp.float32)
+        ny, nz = int(voxel_num_xyz[1]), int(voxel_num_xyz[2])
+        sdf, sem, mask = _infer_chunks_grid(
+            self.geo_params,
+            self.sem_params if query_sem else self.geo_params,
+            tuple(self.grid.features),
+            tuple(self.grid.tables),
+            origin_s, steps_s, jnp.int32(ny * nz), jnp.int32(nz),
+            jnp.float32(self.ts),
+            K, bs,
+            tuple(self.grid.levels),
+            self.grid.polynomial_interpolation,
+            check_level,
+            self.config.time_conditioned,
+            query_sem,
+        )
+        sdf_out = (np.asarray(sdf).reshape(-1)[:n].astype(np.float64)
+                   if query_sdf else None)
+        sem_out = (np.asarray(sem).reshape(-1)[:n].astype(np.int64)
+                   if query_sem else None)
+        mask_out = np.asarray(mask).reshape(-1)[:n] if query_mask else None
+        return sdf_out, sem_out, mask_out
+
+    # ------------------------------------------------------------------ grids
+    def grid_shape_from_bbx(self, bbx, voxel_size: float):
+        """(voxel_num_xyz, voxel_origin) for a world-space bbx — the grid
+        geometry of ``get_query_from_bbx`` without materializing coords."""
         min_bound, max_bound = np.asarray(bbx[0], float), np.asarray(bbx[1], float)
         len_xyz = max_bound - min_bound
         voxel_num_xyz = (
@@ -216,6 +290,14 @@ class Mesher:
         # extra voxel underground for the ground surface (utils/mesher.py:128-130)
         voxel_origin[2] -= voxel_size
         voxel_num_xyz[2] += 1
+        return voxel_num_xyz, voxel_origin
+
+    def get_query_from_bbx(self, bbx, voxel_size: float):
+        """Dense grid covering a world-space bbx (utils/mesher.py:110-150).
+
+        bbx: (min_bound, max_bound) arrays in metres.
+        """
+        voxel_num_xyz, voxel_origin = self.grid_shape_from_bbx(bbx, voxel_size)
 
         x = np.arange(voxel_num_xyz[0])
         y = np.arange(voxel_num_xyz[1])
@@ -313,12 +395,23 @@ class Mesher:
         filter_free_space_vertices: bool = True,
     ) -> io.TriangleMesh:
         """Dense bounding-box reconstruction (utils/mesher.py:253-290)."""
-        coord, voxel_num_xyz, voxel_origin = self.get_query_from_bbx(bbx, voxel_size)
-        sdf_pred, _, mc_mask = self.query_points(
-            coord, self.config.infer_bs, True, False, self.config.mc_mask_on
-        )
-        if save_map:
-            self.generate_sdf_map(coord, sdf_pred, mc_mask, map_path)
+        if save_map or self.dp_mesh is not None:
+            # host coords needed (sdf-map export) / dp_mesh batch sharding
+            coord, voxel_num_xyz, voxel_origin = self.get_query_from_bbx(
+                bbx, voxel_size)
+            sdf_pred, _, mc_mask = self.query_points(
+                coord, self.config.infer_bs, True, False,
+                self.config.mc_mask_on,
+            )
+            if save_map:
+                self.generate_sdf_map(coord, sdf_pred, mc_mask, map_path)
+        else:
+            voxel_num_xyz, voxel_origin = self.grid_shape_from_bbx(
+                bbx, voxel_size)
+            sdf_pred, _, mc_mask = self.query_grid(
+                voxel_num_xyz, voxel_origin, voxel_size, True, False,
+                self.config.mc_mask_on,
+            )
         mc_sdf, _, mc_mask3 = self.assign_to_bbx(sdf_pred, None, mc_mask, voxel_num_xyz)
         verts, faces = self.mc_mesh(mc_sdf, mc_mask3, voxel_size, voxel_origin)
         return self._finalize_mesh(

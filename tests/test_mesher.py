@@ -125,3 +125,19 @@ def test_sharded_mesher_matches_single(sphere_setup):
     assert sharded._placed_key is not None
     sdf3, _, _ = sharded.query_points(q, bs=256)
     np.testing.assert_allclose(sdf2, sdf3, atol=0)
+
+
+def test_query_grid_matches_host_grid(sphere_setup):
+    """Device-side grid generation (query_grid) reproduces the host
+    meshgrid + query_points pair: same mask, same SDF to f32 coord noise."""
+    cfg, grid, geo, surf = sphere_setup
+    mesher = Mesher(cfg, grid, geo)
+    bbx = (np.array([-0.6, -0.6, -0.6]) / cfg.scale,
+           np.array([0.6, 0.6, 0.6]) / cfg.scale)
+    vs = 0.21 / cfg.scale * 0.1  # odd step so grid planes avoid voxel faces
+    coord, vnum, vorig = mesher.get_query_from_bbx(bbx, vs)
+    sdf_h, _, mask_h = mesher.query_points(coord, cfg.infer_bs, True, False, True)
+    sdf_d, _, mask_d = mesher.query_grid(vnum, vorig, vs, True, False, True)
+    assert sdf_d.shape == sdf_h.shape
+    np.testing.assert_array_equal(mask_h, mask_d)
+    np.testing.assert_allclose(sdf_h, sdf_d, atol=5e-5)
