@@ -224,8 +224,14 @@ class _HostLevel:
         with a larger table).
         """
         n = coords.shape[0]
+        # slots written by the most recent successful call — the caller's
+        # incremental device scatter uses this instead of reading the whole
+        # device table back to diff it (an MB-scale readback per level per
+        # frame through the tunnel)
+        self.last_insert_touched = np.zeros(0, dtype=np.int32)
         if n == 0:
             return True
+        touched_rounds = []
         S = self.node_capacity
         mask = np.uint32(S - 1)
         x = coords[:, 0].astype(np.uint32)
@@ -241,6 +247,9 @@ class _HostLevel:
         # premature rebuild
         for _round in range(4 * PROBE):
             if pending.size == 0:
+                if touched_rounds:
+                    self.last_insert_touched = np.concatenate(
+                        touched_rounds).astype(np.int32)
                 return True
             slots = (h[pending] + disp[pending]) & mask
             free = self.key_b[slots] == EMPTY
@@ -252,6 +261,7 @@ class _HostLevel:
                 self.key_a[uniq_slots] = ka[winners]
                 self.key_b[uniq_slots] = z[winners]
                 self.corner_idx[uniq_slots] = rows[winners]
+                touched_rounds.append(uniq_slots)
                 placed = np.zeros(pending.size, dtype=bool)
                 placed[cand[first]] = True
             else:
@@ -261,7 +271,12 @@ class _HostLevel:
             if np.any(over):
                 return False
             pending = pending[~placed]
-        return pending.size == 0
+        if pending.size == 0:
+            if touched_rounds:
+                self.last_insert_touched = np.concatenate(
+                    touched_rounds).astype(np.int32)
+            return True
+        return False
 
     def _rebuild_table(self) -> None:
         """Re-hash every node into a (possibly larger) fresh table."""
@@ -444,7 +459,6 @@ class HashGridHost:
                 )
                 self.structure_version += 1
             else:
-                before_a = hl.key_a.copy()
                 if not hl._try_insert_all(new_nodes, rows8):
                     hl.node_capacity *= 2
                     hl._rebuild_table()
@@ -454,11 +468,9 @@ class HashGridHost:
                     )
                     self.structure_version += 1
                 else:
-                    # incremental device scatter: only touched slots
-                    tb = np.asarray(self.tables[li].keys)[:, 1].view(np.uint32)
-                    touched = np.nonzero(
-                        (tb != hl.key_b) | (before_a != hl.key_a)
-                    )[0].astype(np.int32)
+                    # incremental device scatter: only the slots the insert
+                    # wrote (recorded host-side — no device-table readback)
+                    touched = hl.last_insert_touched
                     t = self.tables[li]
                     pairs = np.stack(
                         [hl.key_a[touched].view(np.int32),
