@@ -95,9 +95,11 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
             cfg, grid.levels,
             continual_reg_on=cfg.continual_learning_reg,
             freeze_decoder=freeze,
-            # coarse buckets: the growing map re-jits at most 8 times per
-            # capacity level for the used-rows sweep saving
-            n_used=trainer.used_rows_for(grid, granularity=8),
+            # coarse buckets: the growing map re-jits at most 4 times per
+            # capacity level for the used-rows sweep saving (each re-jit
+            # costs ~10 s through the remote-compile tunnel; measured in
+            # the incre demo at granularity 8: 11 of 20 frames recompiled)
+            n_used=trainer.used_rows_for(grid, granularity=4),
         )
         # optimizer rebuilt per frame over the grown structure
         opt_state = init_opt_state(
