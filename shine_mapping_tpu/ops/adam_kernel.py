@@ -63,9 +63,10 @@ def packable(C: int, D: int) -> bool:
 
 
 def _kernel(offs_ref, scal_ref, p_ref, m_ref, v_ref,
-            prow0_ref, prow1_ref, g0h_ref, g0l_ref, g1h_ref, g1l_ref,
-            po_ref, mo_ref, vo_ref, *, tb: int, w: int, b1: float, b2: float,
-            eps: float):
+            prow0_ref, prow1_ref, *g_refs, tb: int, w: int, b1: float,
+            b2: float, eps: float):
+    po_ref, mo_ref, vo_ref = g_refs[-3:]
+    g_refs = g_refs[:-3]
     t = pl.program_id(0)
     lr = scal_ref[0]
     bc1 = scal_ref[1]
@@ -73,12 +74,20 @@ def _kernel(offs_ref, scal_ref, p_ref, m_ref, v_ref,
     s_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, w), 0) + t * tb
     A0 = (prow0_ref[:] == s_ids).astype(jnp.bfloat16)  # (1,W) bcast -> (TB,W)
     A1 = (prow1_ref[:] == s_ids).astype(jnp.bfloat16)
-    gtile = (
-        jnp.dot(A0, g0h_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(A0, g0l_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(A1, g1h_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(A1, g1l_ref[:], preferred_element_type=jnp.float32)
-    )
+    if len(g_refs) == 4:  # exact: bf16 hi+lo split reproduces f32 grads
+        g0h_ref, g0l_ref, g1h_ref, g1l_ref = g_refs
+        gtile = (
+            jnp.dot(A0, g0h_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(A0, g0l_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(A1, g1h_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(A1, g1l_ref[:], preferred_element_type=jnp.float32)
+        )
+    else:  # bf16 grads (tpu.moments_bf16 update path): half the matmuls
+        g0h_ref, g1h_ref = g_refs
+        gtile = (
+            jnp.dot(A0, g0h_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(A1, g1h_ref[:], preferred_element_type=jnp.float32)
+        )
     # moments may be stored bf16 (tpu.moments_bf16): compute f32, store back
     m_new = b1 * m_ref[:].astype(jnp.float32) + (1.0 - b1) * gtile
     v_new = b2 * v_ref[:].astype(jnp.float32) + (1.0 - b2) * gtile * gtile
@@ -95,25 +104,22 @@ def _pallas_update(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
     # and — thanks to the in-place aliasing — keep their (bit-identical
     # no-op under dense Adam) contents
     T = (R if R_used is None else R_used) // tb
+    with_lo = g_lo is not None
+    tile_spec = pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0))
+    w0_spec = pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t], 0))
+    w1_spec = pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t] + 1, 0))
+    g_specs = [w0_spec, w0_spec, w1_spec, w1_spec] if with_lo else [
+        w0_spec, w1_spec]
+    g_args = (g_hi, g_lo, g_hi, g_lo) if with_lo else (g_hi, g_hi)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
-            pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
-            pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
+            tile_spec, tile_spec, tile_spec,
             pl.BlockSpec((1, w), lambda t, offs, scal: (0, offs[t])),
             pl.BlockSpec((1, w), lambda t, offs, scal: (0, offs[t] + 1)),
-            pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t], 0)),
-            pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t], 0)),
-            pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t] + 1, 0)),
-            pl.BlockSpec((w, 128), lambda t, offs, scal: (offs[t] + 1, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
-            pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
-            pl.BlockSpec((tb, 128), lambda t, offs, scal: (t, 0)),
-        ],
+        ] + g_specs,
+        out_specs=[tile_spec, tile_spec, tile_spec],
     )
     return pl.pallas_call(
         functools.partial(_kernel, tb=tb, w=w, b1=b1, b2=b2, eps=eps),
@@ -132,7 +138,7 @@ def _pallas_update(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(offs, scal, p128, m128, v128, prow_p, prow_p, g_hi, g_lo, g_hi, g_lo)
+    )(offs, scal, p128, m128, v128, prow_p, prow_p, *g_args)
 
 
 # ----------------------------------------------------- multi-level kernel
@@ -554,6 +560,7 @@ def fused_adam_packed(
     use_pallas: bool = True,
     lanes: bool = False,
     n_used: int | None = None,
+    grads_bf16: bool = False,
 ):
     """Dense-Adam step on a packed (R,128) table with sparse gradient
     entries ``rows`` (M,) int32 (unsorted, duplicates fine; trashbin rows
@@ -567,9 +574,18 @@ def fused_adam_packed(
     aliasing leaves the headroom tiles untouched, which dense Adam would
     leave bit-identical anyway (zero moments, zero grads).
 
+    ``grads_bf16`` rounds the gradient entries to bfloat16 and skips the
+    exact hi+lo split — half the one-hot matmuls and no lo window DMA.
+    Part of the opt-in bf16 update mode (tpu.moments_bf16); the same
+    rounding is applied in the XLA fallback so the lax.cond branches stay
+    semantically aligned.
+
     Returns updated (p128, m128, v128).
     """
     M = rows.shape[0]
+    if grads_bf16:
+        # same rounding in every path so kernel and fallbacks agree
+        grads = grads.astype(jnp.bfloat16).astype(jnp.float32)
     if not (use_pallas and _HAS_PALLAS and packable(C, D)):
         if lanes:
             return _xla_update_lanes(p128, m128, v128, rows, grads, lr,
@@ -620,13 +636,15 @@ def fused_adam_packed(
         mask = (lane[None, :] // D) == (rows_s % PACK)[:, None].astype(jnp.int32)
         g128 = jnp.where(mask, g_rep, 0.0)
     g_hi = g128.astype(jnp.bfloat16)
-    g_lo = (g128 - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    g_lo = (None if grads_bf16
+            else (g128 - g_hi.astype(jnp.float32)).astype(jnp.bfloat16))
 
     Mpad = ((M + w - 1) // w) * w + w
     prow_p = jnp.full((1, Mpad), -1, jnp.int32).at[0, :M].set(prow)
     pad_g = jnp.zeros((Mpad - M, 128), jnp.bfloat16)
     g_hi = jnp.concatenate([g_hi, pad_g], axis=0)
-    g_lo = jnp.concatenate([g_lo, pad_g], axis=0)
+    if g_lo is not None:
+        g_lo = jnp.concatenate([g_lo, pad_g], axis=0)
 
     bounds = jnp.arange(T + 1, dtype=jnp.int32) * tb
     wstart = jnp.searchsorted(prow, bounds).astype(jnp.int32)

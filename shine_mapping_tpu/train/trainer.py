@@ -643,6 +643,10 @@ def _train_chunk_impl(
             )
 
     use_pallas_kernel = adam_kernel.on_tpu()
+    # bf16 update mode (tpu.moments_bf16): moments stored bf16 AND gradient
+    # entries rounded bf16 (kernel runs half the one-hot matmuls)
+    bf16_update = (mode == "pallas"
+                   and opt_state.m["features"][0].dtype == jnp.bfloat16)
     # static per-level packed-row offsets into the fused (R_tot, 128) table
     feat_roffs = []
     off = 0
@@ -969,6 +973,7 @@ def _train_chunk_impl(
                             C_i, D_i, eps=s.adam_eps,
                             use_pallas=use_pallas_kernel, lanes=False,
                             n_used=s.n_used[i] if s.n_used else None,
+                            grads_bf16=bf16_update,
                         )
 
                     f_n, m_n, v_n = jax.shard_map(
@@ -989,6 +994,7 @@ def _train_chunk_impl(
                         eps=s.adam_eps, use_pallas=use_pallas_kernel,
                         lanes=True,
                         n_used=s.n_used[i] if s.n_used else None,
+                        grads_bf16=bf16_update,
                     )
                 new_feats.append(f_n)
                 new_m.append(m_n)
