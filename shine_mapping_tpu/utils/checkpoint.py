@@ -27,12 +27,23 @@ def _flatten(prefix: str, tree: Any, out: Dict[str, np.ndarray]) -> None:
         str(treedef).encode(), dtype=np.uint8
     )
     for i, leaf in enumerate(leaves):
-        out[f"{prefix}__{i}"] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype == jnp.bfloat16:
+            # npz has no bfloat16: persist the bit pattern (tpu.moments_bf16)
+            out[f"{prefix}__{i}__bf16"] = arr.view(np.uint16)
+        else:
+            out[f"{prefix}__{i}"] = arr
 
 
 def _unflatten(prefix: str, like: Any, d) -> Any:
     leaves, treedef = jax.tree_util.tree_flatten(like)
-    restored = [jnp.asarray(d[f"{prefix}__{i}"]) for i in range(len(leaves))]
+    restored = []
+    for i in range(len(leaves)):
+        key = f"{prefix}__{i}"
+        if key in d:
+            restored.append(jnp.asarray(d[key]))
+        else:
+            restored.append(jnp.asarray(d[key + "__bf16"].view(jnp.bfloat16)))
     return treedef.unflatten(restored)
 
 
@@ -73,7 +84,8 @@ def load_checkpoint(path: str, params_like, opt_state_like=None):
     # features come from the grid (authoritative shapes)
     params["features"] = tuple(grid.features)
     opt_state = None
-    if opt_state_like is not None and "optm__0" in d.files:
+    if opt_state_like is not None and any(
+            k.startswith("optm__") for k in d.files):
         m = _unflatten("optm", opt_state_like.m, d)
         v = _unflatten("optv", opt_state_like.v, d)
         opt_state = OptState(m=m, v=v, step=jnp.asarray(d["optstep"]))

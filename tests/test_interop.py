@@ -52,3 +52,50 @@ def test_load_decoders_via_checkpoint_module(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(new["sem"]["w0"]), np.asarray(params["sem"]["w0"])
     )
+
+
+def test_checkpoint_roundtrip_bf16_moments(tmp_path):
+    """npz has no bfloat16 — the checkpoint stores the bit pattern and the
+    loader restores dtype + values exactly (tpu.moments_bf16 runs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shine_mapping_tpu.config import SHINEConfig
+    from shine_mapping_tpu.ops.hashgrid import HashGridHost
+    from shine_mapping_tpu.train import trainer
+    from shine_mapping_tpu.train.optimizer import init_opt_state
+    from shine_mapping_tpu.utils import checkpoint as ckpt
+
+    cfg = SHINEConfig()
+    cfg.tree_level_world = 6
+    cfg.tree_level_feat = 2
+    cfg.derive()
+    grid = HashGridHost(
+        max_level=cfg.tree_level_world,
+        featured_level_num=cfg.tree_level_feat,
+        feature_dim=cfg.feature_dim,
+        feature_std=cfg.feature_std,
+        seed=0,
+        init_node_capacity=1 << 10,
+        init_corner_capacity=1 << 10,
+    )
+    rng = np.random.default_rng(0)
+    grid.update(rng.uniform(-0.5, 0.5, (500, 3)))
+    params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
+    opt = init_opt_state(params, moments_bf16=True)
+    # non-trivial moments so values (not just dtypes) round-trip
+    opt = opt._replace(m=dict(
+        opt.m, features=tuple(
+            (jnp.arange(f.size, dtype=jnp.float32) / 777.0)
+            .reshape(f.shape).astype(jnp.bfloat16)
+            for f in params["features"])))
+    path = str(tmp_path / "ck.npz")
+    ckpt.save_checkpoint(path, grid, params, opt, iters=5)
+    _, params2, opt2, iters = ckpt.load_checkpoint(path, params, opt)
+    assert iters == 5
+    for i in range(len(params["features"])):
+        assert opt2.m["features"][i].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(opt2.m["features"][i]).view(np.uint16),
+            np.asarray(opt.m["features"][i]).view(np.uint16))
