@@ -103,6 +103,11 @@ class TrainSettings:
     # default: the gradient concat costs more than the saved prep at bench
     # scale (experiments/exp_fuse_ab.py, 12.3 vs 11.9 ms/iter)
     fuse_update_levels: bool = False
+    # sort each batch's sample indices (point mode): gather locality for
+    # the pool and corner reads; order-invariant loss.  Measured NEUTRAL
+    # on v5e (9.80 vs 9.83 ms/iter — TPU gathers don't reward index
+    # locality; experiments/exp_sort_batch.py); kept for other targets.
+    sort_batch: bool = False
     # static per-level allocated-corner counts (adam_kernel.used_rows_hint):
     # the pallas sweep skips each table's capacity-headroom tiles, which
     # dense Adam leaves bit-identical anyway (zero moments, zero grads).
@@ -691,6 +696,12 @@ def _train_chunk_impl(
             batch["ray_depth"] = pool["ray_depth"][ray_idx]
         else:
             idx = jax.random.randint(k_idx, (s.bs,), 0, n_valid)
+            if s.sort_batch:
+                # same sample multiset, pool-order sorted: samples from the
+                # same frame/ray neighborhood sit together, so the batch's
+                # pool and corner gathers hit clustered rows.  The loss is
+                # a mean — order-invariant up to f32 addition order.
+                idx = jnp.sort(idx)
             batch = _gather_batch(pool, idx, s)
         if batch_sharding is not None:
             batch = {
