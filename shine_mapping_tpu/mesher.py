@@ -125,6 +125,36 @@ def _infer_chunks_grid(
     return jax.lax.map(one, jnp.arange(K, dtype=jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "K", "npb", "vpn", "levels", "poly_on", "check_level",
+    "time_conditioned", "with_sem"))
+def _infer_node_blocks(
+    geo_params, sem_params, features, tables, origins_chunks, step,
+    ts_value, K: int, npb: int, vpn: int, levels: Tuple[int, ...],
+    poly_on: bool, check_level: int, time_conditioned: bool, with_sem: bool,
+):
+    """Octree-tiled twin of ``_infer_chunks_grid``: each lax.map step
+    covers ``npb`` whole node blocks of vpn^3 voxels, generating the block
+    coordinates on device from the node origins — the whole tiled
+    reconstruction is ONE dispatch + ONE readback."""
+    block = vpn ** 3
+
+    def one(origins_k):  # (npb, 3) scaled-space block origins
+        idx = jax.lax.iota(jnp.int32, npb * block)
+        node = idx // block
+        w = idx % block
+        ix = w // (vpn * vpn)
+        rem = w % (vpn * vpn)
+        off = jnp.stack([ix, rem // vpn, rem % vpn], axis=1)
+        coord = origins_k[node] + off.astype(jnp.float32) * step
+        ts = jnp.full((npb * block,), ts_value, jnp.float32)
+        return _infer_core(geo_params, sem_params, features, tables, coord,
+                           ts, levels, poly_on, check_level,
+                           time_conditioned, with_sem)
+
+    return jax.lax.map(one, origins_chunks)
+
+
 def _bucket_chunks(k: int) -> int:
     """Round the chunk count up so distinct stack shapes stay few (one
     compiled executable per bucket; <= 12.5% padded compute)."""
@@ -444,46 +474,52 @@ class Mesher:
         vox_per_node = int(np.ceil(node_res / self.world_scale / mc_res_m))
         mc_res_scaled = node_res / vox_per_node
 
-        # local per-node grid (vox_per_node^3)
-        ax = np.arange(vox_per_node)
-        gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
-        local = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1).astype(np.float64)
-        local *= mc_res_scaled
-
         side = ((max_nodes - min_nodes) / mc_res_scaled + vox_per_node).astype(int)
         grid_sdf = np.zeros(tuple(side), dtype=np.float32)
         grid_mask = np.zeros(tuple(side), dtype=bool)
 
-        # batch MULTIPLE nodes per inference dispatch: at `infer_bs` points
-        # per call, one call covers nodes_per_batch whole node blocks — far
-        # fewer dispatches than the reference's per-node loop
-        # (utils/mesher.py:326-336), which matters behind high-latency
-        # device links
+        # ONE dispatch covers ALL node blocks: node origins upload once and
+        # each lax.map step generates nodes_per_batch blocks' coordinates on
+        # device (_infer_node_blocks) — no host meshgrid, no per-batch round
+        # trips (the reference queries per node, utils/mesher.py:326-336)
         block = vox_per_node ** 3
         nodes_per_batch = max(1, self.config.infer_bs // block)
         box = (vox_per_node,) * 3
-        for start in range(0, nodes.shape[0], nodes_per_batch):
-            group = nodes[start: start + nodes_per_batch]
-            origins = group - 0.5 * (node_res - mc_res_scaled)
-            coords = (
-                local[None, :, :] + origins[:, None, :]
-            ).reshape(-1, 3)
-            sdf_pred, _, mc_mask = self.query_points(
-                coords, self.config.infer_bs, True, False, self.config.mc_mask_on
+        n_nodes = nodes.shape[0]
+        K = _bucket_chunks(math.ceil(n_nodes / nodes_per_batch))
+        origins = (nodes - 0.5 * (node_res - mc_res_scaled)).astype(np.float32)
+        pad = K * nodes_per_batch - n_nodes
+        if pad:
+            # padded origins sit outside [-1,1]: trash lookups, mask False
+            origins = np.concatenate(
+                [origins, np.full((pad, 3), 3.0, np.float32)], axis=0)
+        check_level = min(self.grid.featured_level_num,
+                          self.config.mc_vis_level) - 1
+        sdf_pred, _, mc_mask = _infer_node_blocks(
+            self.geo_params, self.geo_params,
+            tuple(self.grid.features), tuple(self.grid.tables),
+            jnp.asarray(origins.reshape(K, nodes_per_batch, 3)),
+            jnp.float32(mc_res_scaled), jnp.float32(self.ts),
+            K, nodes_per_batch, vox_per_node,
+            tuple(self.grid.levels), self.grid.polynomial_interpolation,
+            check_level, self.config.time_conditioned, False,
+        )
+        sdf_pred = np.asarray(sdf_pred).reshape(-1)
+        mc_mask = (np.asarray(mc_mask).reshape(-1)
+                   if self.config.mc_mask_on else None)
+        for k in range(n_nodes):
+            sdf3, _, mask3 = self.assign_to_bbx(
+                sdf_pred[k * block:(k + 1) * block],
+                None,
+                None if mc_mask is None else mc_mask[k * block:(k + 1) * block],
+                box,
             )
-            for k in range(group.shape[0]):
-                sdf3, _, mask3 = self.assign_to_bbx(
-                    sdf_pred[k * block:(k + 1) * block],
-                    None,
-                    None if mc_mask is None else mc_mask[k * block:(k + 1) * block],
-                    box,
-                )
-                s = np.round(
-                    (group[k] - min_nodes) / node_res * vox_per_node
-                ).astype(int)
-                grid_sdf[s[0]:s[0]+vox_per_node, s[1]:s[1]+vox_per_node, s[2]:s[2]+vox_per_node] = sdf3
-                if mask3 is not None:
-                    grid_mask[s[0]:s[0]+vox_per_node, s[1]:s[1]+vox_per_node, s[2]:s[2]+vox_per_node] = mask3
+            s = np.round(
+                (nodes[k] - min_nodes) / node_res * vox_per_node
+            ).astype(int)
+            grid_sdf[s[0]:s[0]+vox_per_node, s[1]:s[1]+vox_per_node, s[2]:s[2]+vox_per_node] = sdf3
+            if mask3 is not None:
+                grid_mask[s[0]:s[0]+vox_per_node, s[1]:s[1]+vox_per_node, s[2]:s[2]+vox_per_node] = mask3
 
         mc_voxel_size = mc_res_scaled / self.world_scale
         mc_origin = (min_nodes - 0.5 * (node_res - mc_res_scaled)) / self.world_scale
