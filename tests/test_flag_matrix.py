@@ -21,11 +21,20 @@ COMBOS = [
     dict(consistency_loss_on=True),  # fused path: off-batch near lookups
     dict(feature_update="sparse", consistency_loss_on=True),  # dense fallback
     dict(lr_iters_reduce_ratio=0.5, lr_decay_step=(2,)),
+    dict(feature_update="pallas", consistency_loss_on=True),
+    dict(feature_update="pallas", fuse_update_levels=True),
+    dict(feature_update="pallas", sort_batch=True, _n_used=True),
+    dict(feature_update="pallas", _moments_bf16=True, _n_used=True),
 ]
 
 
 @pytest.mark.parametrize("combo", COMBOS, ids=[str(sorted(c)) for c in COMBOS])
 def test_flag_combo_trains_finite(combo):
+    import dataclasses
+
+    combo = dict(combo)
+    moments_bf16 = combo.pop("_moments_bf16", False)
+    with_n_used = combo.pop("_n_used", False)
     pool, surf = make_sphere_pool(800, seed=13)
     cfg = default_cfg(bs=512)
     if combo.get("time_conditioned"):
@@ -33,6 +42,11 @@ def test_flag_combo_trains_finite(combo):
     grid, settings, params, opt_state, dev_pool, n_valid = build(
         cfg, pool, surf, **combo
     )
+    if with_n_used:
+        settings = dataclasses.replace(
+            settings, n_used=trainer.used_rows_for(grid))
+    if moments_bf16:
+        opt_state = init_opt_state(params, moments_bf16=True)
     shadow = trainer.empty_shadow(params["features"])
     params, opt_state, aux = trainer.train_chunk(
         params, opt_state, tuple(grid.tables), dev_pool, shadow,
