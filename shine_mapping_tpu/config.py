@@ -216,6 +216,9 @@ class SHINEConfig:
     # experiments/exp_fuse_ab.py), so off by default; kept for bigger
     # batches where the prep tax dominates.
     fuse_update_levels: bool = False
+    # sort each batch's sample indices before gathering (order-invariant
+    # loss; measured neutral on v5e — experiments/exp_sort_batch.py)
+    sort_batch: bool = False
     # store the feature tables' Adam moments in bfloat16 (compute stays
     # f32): halves the m/v HBM traffic of the dense sweep.  Opt-in
     # semantics delta vs the reference's f32 torch Adam (quantized moment
@@ -340,6 +343,7 @@ class SHINEConfig:
         self.fuse_update_levels = opt(
             "tpu", "fuse_update_levels", self.fuse_update_levels)
         self.moments_bf16 = opt("tpu", "moments_bf16", self.moments_bf16)
+        self.sort_batch = opt("tpu", "sort_batch", self.sort_batch)
         self.precompute_lookups = opt(
             "tpu", "precompute_lookups", self.precompute_lookups)
         self.coordinator = opt("tpu", "coordinator", self.coordinator)

@@ -151,6 +151,7 @@ class TrainSettings:
             lr_decay_step=tuple(cfg.lr_decay_step),
             feature_update=getattr(cfg, "feature_update", "fused"),
             fuse_update_levels=getattr(cfg, "fuse_update_levels", False),
+            sort_batch=getattr(cfg, "sort_batch", False),
         )
         kw.update(overrides)
         return cls(**kw)
