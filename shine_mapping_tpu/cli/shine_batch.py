@@ -120,9 +120,13 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         opt_state = pad_opt_state_features(loaded_opt, params)
         print(f"Resuming from iter {start_iter} (optimizer state restored)")
     else:
+        # bf16 moments only when the RESOLVED mode is pallas (unpackable
+        # dims fall back to fused, which cannot carry bf16)
+        feat_shapes = tuple(tuple(f.shape) for f in params["features"])
         opt_state = init_opt_state(
             params,
-            moments_bf16=cfg.moments_bf16 and cfg.feature_update == "pallas",
+            moments_bf16=(cfg.moments_bf16 and trainer.resolve_feature_update(
+                settings, feat_shapes) == "pallas"),
         )
     pool_rng = np.random.default_rng(cfg.seed + 1)
     rotate_pool = len(dataset.pool) > cfg.max_device_pool and not cfg.ray_loss

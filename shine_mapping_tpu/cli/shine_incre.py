@@ -101,10 +101,14 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
             # the incre demo at granularity 8: 11 of 20 frames recompiled)
             n_used=trainer.used_rows_for(grid, granularity=4),
         )
-        # optimizer rebuilt per frame over the grown structure
+        # optimizer rebuilt per frame over the grown structure; bf16
+        # moments only when the RESOLVED mode is pallas (continual-reg or
+        # unpackable dims fall back to fused, which cannot carry bf16)
+        feat_shapes = tuple(tuple(f.shape) for f in params["features"])
         opt_state = init_opt_state(
             params,
-            moments_bf16=cfg.moments_bf16 and cfg.feature_update == "pallas",
+            moments_bf16=(cfg.moments_bf16 and trainer.resolve_feature_update(
+                settings, feat_shapes) == "pallas"),
         )
 
         capacity = pool_capacity_for(len(dataset.pool), 1 << 17)

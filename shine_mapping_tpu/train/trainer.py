@@ -157,6 +157,14 @@ class TrainSettings:
         return cls(**kw)
 
 
+def resolve_feature_update(settings: "TrainSettings", feat_shapes,
+                           batch_sharding=None) -> str:
+    """The feature-update implementation train_chunk will actually use
+    (public twin of _resolve_mode — drivers gate tpu.moments_bf16 on it:
+    bf16 moments are only legal when the resolved mode is 'pallas')."""
+    return _resolve_mode(settings, feat_shapes, batch_sharding)
+
+
 def used_rows_for(grid, granularity: int = 16) -> Tuple[int, ...]:
     """Per-level used-corner hints for TrainSettings.n_used (the pallas
     sweep skips capacity-headroom tiles — adam_kernel.used_rows_hint)."""

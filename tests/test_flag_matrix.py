@@ -55,3 +55,24 @@ def test_flag_combo_trains_finite(combo):
     assert np.isfinite(float(aux["mean"]["total_loss"])), combo
     for leaf in jax.tree_util.tree_leaves(params):
         assert np.all(np.isfinite(np.asarray(leaf))), combo
+
+
+def test_moments_bf16_gated_on_resolved_mode():
+    """cfg.moments_bf16 with a config that resolves AWAY from pallas
+    (continual-reg) must not produce a bf16 carry — the incre driver's
+    gate uses the resolved mode, not the requested one."""
+    pool, surf = make_sphere_pool(400, seed=17)
+    cfg = default_cfg(bs=256)
+    grid, settings, params, _, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="pallas", continual_reg_on=True,
+    )
+    assert trainer.resolve_feature_update(
+        settings, tuple(tuple(f.shape) for f in params["features"])
+    ) != "pallas"
+    # pallas without blockers resolves to pallas
+    settings2 = trainer.TrainSettings.from_config(
+        cfg, grid.levels, sigma_sigmoid=0.05, feature_update="pallas",
+    )
+    assert trainer.resolve_feature_update(
+        settings2, tuple(tuple(f.shape) for f in params["features"])
+    ) == "pallas"
