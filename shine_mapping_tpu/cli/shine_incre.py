@@ -38,6 +38,14 @@ from .common import (
 )
 
 
+# Precompute per-frame pool lookups only when the inner-loop work dwarfs
+# the pool: one precompute pass costs ~one pool sweep, the saving is
+# ~1.2 ms per inner iteration (BENCH_NOTES "Run-level lookup precompute").
+# Typical incre configs (300 iters x 4096 bs vs a 131k-capacity pool) sit
+# just past break-even; tiny test configs stay on live probes.
+PRECOMPUTE_WORK_RATIO = 4.0
+
+
 def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConfig | None = None):
     if cfg is None:
         cfg = SHINEConfig()
@@ -138,11 +146,23 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
             batch_sharding = pmesh.batch_sharded(dp_mesh)
             if world == 1 and cfg.infer_bs % n_dev == 0:
                 mesher.dp_mesh = dp_mesh
+        # the structure is frozen for this frame's inner iterations, so the
+        # run-level lookup precompute applies between growth steps; its
+        # recompiles share train_chunk's growth boundaries (same static
+        # shapes), so no extra executables in steady state
+        pre_lookups = None
+        if (cfg.precompute_lookups
+                and cfg.iters * cfg.bs >= PRECOMPUTE_WORK_RATIO * capacity):
+            pre_lookups = trainer.precompute_pool_lookups(
+                tables, dev_pool["coord"], tuple(grid.levels),
+                tuple(f.shape[0] for f in grid.features),
+            )
         key, k = jax.random.split(key)
         params, opt_state, aux = trainer.train_chunk(
             params, opt_state, tables, dev_pool, shadow,
             n_valid, jnp.int32(0), k, settings, cfg.iters,
             batch_sharding=batch_sharding,
+            pre_lookups=pre_lookups,
         )
         jax.block_until_ready(aux["mean"]["total_loss"])
         total_iter += cfg.iters

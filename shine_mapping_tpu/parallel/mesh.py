@@ -67,6 +67,12 @@ def setup_distributed(cfg) -> tuple[int, int]:
         # TPU pod slice with everything discoverable from the environment;
         # opt-in (single-chip dev tunnels export misleading TPU_* vars)
         jax.distributed.initialize()
+    else:
+        # single-process: do NOT query jax.process_index() — it initializes
+        # a backend, and platform plugins that hook get_backend (axon) then
+        # force their own device bring-up even under jax_platforms=cpu
+        # (observed hanging driver startup when the TPU tunnel is down)
+        return 0, 1
     return jax.process_index(), jax.process_count()
 
 

@@ -124,6 +124,30 @@ def test_incremental_driver_end_to_end(synth_root, tmp_path):
     assert mesh.vertices.shape[0] > 300
 
 
+def test_incremental_precompute_lookups_matches_live(synth_root, tmp_path, monkeypatch):
+    """The incremental driver's per-frame lookup precompute (applied between
+    growth steps when iters x bs clears the work-ratio gate) must reproduce
+    the live-probe run."""
+    from shine_mapping_tpu.cli import shine_incre
+
+    def run(precompute: bool, out: str):
+        cfg = small_cfg(synth_root, str(tmp_path / out))
+        cfg.iters = 40
+        cfg.window_replay_on = True
+        cfg.window_radius = 15.0
+        cfg.mesh_freq_frame = 100
+        cfg.precompute_lookups = precompute
+        return shine_incre.run_shine_mapping_incremental(cfg=cfg)
+
+    monkeypatch.setattr(shine_incre, "PRECOMPUTE_WORK_RATIO", 0.0)
+    _, _, params_pre = run(True, "pre")
+    _, _, params_live = run(False, "live")
+    for a, b in zip(params_pre["features"], params_live["features"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
+
+
 def test_window_replay_ray_mode_pool_stays_aligned(synth_root, tmp_path):
     """Ray-mode window replay must keep coord/sample_depth/ray_depth in
     lockstep (the reference's own 'FIX ME' desync,
@@ -211,17 +235,23 @@ def test_batch_driver_deterministic(synth_root, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
-def test_resume_from_full_checkpoint(synth_root, tmp_path):
+@pytest.mark.parametrize("update_mode,bf16m", [("fused", False),
+                                               ("pallas", True)])
+def test_resume_from_full_checkpoint(synth_root, tmp_path, update_mode, bf16m):
     """True resume: a run interrupted at iter 100 and resumed to 200 must
     reproduce the uninterrupted 200-iter run — optimizer moments, iteration
     counter, and (fold_in-keyed) batch draws all continue.  (The reference
-    restarts Adam and the LR schedule on load, shine_batch.py:45-55.)"""
+    restarts Adam and the LR schedule on load, shine_batch.py:45-55.)
+    The bf16 variant additionally exercises the uint16-bit-pattern moment
+    serialization through the real driver."""
     from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
 
     # uninterrupted reference run: 200 iters, checkpoint written at 100
     cfg = small_cfg(synth_root, str(tmp_path / "full"))
     cfg.iters = 200
     cfg.save_freq_iters = 100
+    cfg.feature_update = update_mode
+    cfg.moments_bf16 = bf16m
     run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
     n_corners_0 = grid.host_levels[0].n_corners
 
@@ -230,6 +260,8 @@ def test_resume_from_full_checkpoint(synth_root, tmp_path):
     cfg2.iters = 200
     cfg2.load_model = True
     cfg2.model_path = run_path + "/model/model_iter_100.npz"
+    cfg2.feature_update = update_mode
+    cfg2.moments_bf16 = bf16m
     run_path2, grid2, params2 = run_shine_mapping_batch(cfg=cfg2)
 
     # restored structure grew from (identical) frames -> same corner count
