@@ -122,9 +122,15 @@ def main() -> None:
         # "pallas_bf16m" = pallas update with bfloat16 Adam moments
         # (tpu.moments_bf16 — halves the sweep's m/v traffic; documented
         # semantics delta, quality-parity tested)
-        bf16m = mode == "pallas_bf16m"
+        # "..._win" = + epoch-window batches (tpu.batch_windows — the
+        # kernel's row-only prep precomputed per window; documented
+        # sampling delta).  The one-off window precompute is reported to
+        # stderr and excluded from ms/iter, like the lookup precompute.
+        bf16m = mode.startswith("pallas_bf16m")
+        windows = mode.endswith("_win")
         settings = trainer.TrainSettings.from_config(
-            cfg, grid.levels, feature_update="pallas" if bf16m else mode,
+            cfg, grid.levels,
+            feature_update="pallas" if (bf16m or windows) else mode,
             n_used=trainer.used_rows_for(grid, granularity=64),
         )
         params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
@@ -133,6 +139,20 @@ def main() -> None:
         params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
         opt_state = init_opt_state(params, moments_bf16=bf16m)
         shadow = trainer.empty_shadow(params["features"])
+        batch_windows = None
+        if windows:
+            feat_shapes = tuple(tuple(f.shape) for f in params["features"])
+            t0 = time.perf_counter()
+            batch_windows = trainer.precompute_batch_windows(
+                pre_lookups, n_pool, jax.random.PRNGKey(7), settings,
+                feat_shapes,
+            )
+            _ = float(batch_windows["preps"][-1].ok[-1])  # readback fence
+            print(
+                f"[bench] window precompute ({n_pool // cfg.bs} windows): "
+                f"{time.perf_counter() - t0:.2f} s (once per run)",
+                file=sys.stderr, flush=True,
+            )
         key = jax.random.PRNGKey(1)
         times = []
         for rep in range(4):
@@ -142,6 +162,7 @@ def main() -> None:
                 params, opt_state, tables, dev_pool, shadow,
                 n_valid, jnp.int32(rep * n_iters), k, settings, n_iters,
                 pre_lookups=pre_lookups,
+                batch_windows=batch_windows,
             )
             params, opt_state = params2, opt_state2
             loss = float(aux["mean"]["total_loss"])  # device sync
@@ -163,7 +184,7 @@ def main() -> None:
     import os
 
     modes = os.environ.get("SHINE_BENCH_MODES",
-                           "pallas,pallas_bf16m,fused,sparse")
+                           "pallas,pallas_bf16m,pallas_bf16m_win,fused,sparse")
     chunk_t = min(run_variant(m) for m in modes.split(","))
 
     pts_per_s = n_iters * cfg.bs / chunk_t

@@ -172,7 +172,20 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     # the batch-mode structure is frozen for the whole run: resolve corner
     # ids for every pool sample once (invalidated only by pool rotation)
     # and per-iteration hash probes become plain gathers
-    pre_lookups = None
+    feat_shapes = tuple(tuple(f.shape) for f in grid.features)
+    use_windows = (
+        cfg.batch_windows
+        and cfg.precompute_lookups
+        and batch_sharding is None
+        and not cfg.fuse_update_levels
+        and not cfg.ray_loss
+        and not cfg.consistency_loss_on
+        and trainer.resolve_feature_update(settings, feat_shapes) == "pallas"
+    )
+    if cfg.batch_windows and not use_windows:
+        print("tpu.batch_windows requested but prerequisites unmet "
+              "(needs single-chip pallas, point loss, no consistency, "
+              "precompute_lookups) — falling back to iid batches")
 
     def make_pre():
         if not cfg.precompute_lookups:
@@ -182,7 +195,20 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             tuple(f.shape[0] for f in grid.features),
         )
 
+    def make_windows(pre):
+        # epoch windows over the CURRENT device pool (n_valid live samples);
+        # the shuffle key is seed-deterministic so a resumed run rebuilds
+        # the identical windows and continues the same epoch sequence
+        if pre is None or not use_windows:
+            return None
+        n_live = capacity if rotate_pool else len(dataset.pool)
+        return trainer.precompute_batch_windows(
+            pre, int(n_live), jax.random.fold_in(key, 0x5157), settings,
+            feat_shapes,
+        )
+
     pre_lookups = make_pre()
+    batch_windows = make_windows(pre_lookups)
     t_train0 = time.time()
     done_iters = start_iter
     for start, n in event_boundaries(
@@ -200,6 +226,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             )
             iters_since_rotate = 0
             pre_lookups = make_pre()  # pool contents changed
+            batch_windows = make_windows(pre_lookups)
         # chunk key depends only on the chunk's start iteration, so a
         # resumed run draws the same batches an uninterrupted run would
         k = jax.random.fold_in(key, start)
@@ -210,6 +237,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
                 n_valid, jnp.int32(start), k, settings, n,
                 batch_sharding=batch_sharding,
                 pre_lookups=pre_lookups,
+                batch_windows=batch_windows,
             )
             t1 = get_time(aux["mean"]["total_loss"])
         iters_since_rotate += n

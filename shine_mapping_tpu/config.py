@@ -230,6 +230,13 @@ class SHINEConfig:
     # per-iteration hash probes become plain gathers.  Batch driver only;
     # fused/pallas modes.
     precompute_lookups: bool = True
+    # epoch-style batch windows: one fixed shuffle cut into n_valid//bs
+    # windows, cycled per iteration, with the pallas update's row-only prep
+    # (argsort + tile windows) precomputed per window.  SAMPLING DELTA vs
+    # the reference's iid batches (without-replacement epochs).  Batch
+    # driver, single-chip pallas, point-mode loss only; needs
+    # precompute_lookups.
+    batch_windows: bool = False
     # pool capacity in samples (static shape; doubled on overflow)
     init_pool_capacity: int = 1 << 20
     # device-pool budget: when the host pool exceeds this many samples, a
@@ -346,6 +353,7 @@ class SHINEConfig:
         self.sort_batch = opt("tpu", "sort_batch", self.sort_batch)
         self.precompute_lookups = opt(
             "tpu", "precompute_lookups", self.precompute_lookups)
+        self.batch_windows = opt("tpu", "batch_windows", self.batch_windows)
         self.coordinator = opt("tpu", "coordinator", self.coordinator)
         self.num_processes = opt("tpu", "num_processes", self.num_processes)
         self.process_id = opt("tpu", "process_id", self.process_id)

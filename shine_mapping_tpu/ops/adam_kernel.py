@@ -31,7 +31,7 @@ clustered batch overflows a tile's entry window (checked, lax.cond).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import numpy as np
 
@@ -505,6 +505,69 @@ def lanes_to_narrow(g128: jnp.ndarray, D: int) -> jnp.ndarray:
 _VMEM_BUDGET = 8 << 20
 
 
+class EntryPrep(NamedTuple):
+    """Row-only (gradient-independent) prep for ``fused_adam_packed``
+    with ``lanes=True`` — everything the kernel needs that derives from
+    the entry ROWS alone.  For a frozen batch composition (epoch-style
+    batch windows) this is precomputable once per window, removing the
+    per-iteration argsort + searchsorted from the step.
+
+    order:  (M,) int32 — entry permutation sorting by packed row
+    trash:  (M,) bool  — sorted-order trashbin mask (grads zeroed)
+    prow_p: (1, Mpad) int32 — sorted packed rows, -1 padded
+    offs:   (T,) int32 — per-tile gradient-window block offsets
+    ok:     () bool — tile windows hold every entry (else XLA fallback)
+    """
+
+    order: jnp.ndarray
+    trash: jnp.ndarray
+    prow_p: jnp.ndarray
+    offs: jnp.ndarray
+    ok: jnp.ndarray
+
+
+def _used_rows(R: int, tb: int, C: int, D: int, n_used: int | None) -> int:
+    if n_used is not None and n_used < C:
+        need = (n_used * D + 127) // 128  # ceil: last used row covered
+        return max(min(R, (need + tb - 1) // tb * tb), tb)
+    return R
+
+
+def entry_prep_lanes(rows: jnp.ndarray, C: int, D: int,
+                     n_used: int | None = None) -> EntryPrep:
+    """Compute :class:`EntryPrep` for lane-aligned entries ``rows`` (M,).
+
+    Must be called with the same static (C, D, M, n_used) the consuming
+    :func:`fused_adam_packed` call uses — the tile geometry
+    (:func:`choose_tiles`) is derived from them.
+    """
+    M = rows.shape[0]
+    PACK = 128 // D
+    R = C * D // 128
+    tb, w = choose_tiles(C, D, M)
+    R_used = _used_rows(R, tb, C, D, n_used)
+    T = R_used // tb
+
+    trash = rows == C - 1
+    spread_p = jnp.arange(M, dtype=jnp.int32) % max(R_used - 1, 1)
+    prow_u = jnp.where(trash, spread_p, (rows // PACK).astype(jnp.int32))
+    hints = dict(unique_indices=True, mode="promise_in_bounds")
+    order = jnp.argsort(prow_u)
+    prow = prow_u.at[order].get(**hints)
+    trash_s = trash.at[order].get(**hints)
+
+    Mpad = ((M + w - 1) // w) * w + w
+    prow_p = jnp.full((1, Mpad), -1, jnp.int32).at[0, :M].set(prow)
+    bounds = jnp.arange(T + 1, dtype=jnp.int32) * tb
+    wstart = jnp.searchsorted(prow, bounds).astype(jnp.int32)
+    offs = jnp.minimum(wstart[:-1] // w, Mpad // w - 2).astype(jnp.int32)
+    ok = jnp.all(wstart[1:] <= offs * w + 2 * w)
+    if R_used < R:
+        ok = jnp.logical_and(ok, wstart[-1] == M)
+    return EntryPrep(order=order, trash=trash_s, prow_p=prow_p, offs=offs,
+                     ok=ok)
+
+
 def _fit_tiles(R: int, M: int) -> Tuple[int, int]:
     tb = min(512, R)
     while R % tb:
@@ -561,6 +624,7 @@ def fused_adam_packed(
     lanes: bool = False,
     n_used: int | None = None,
     grads_bf16: bool = False,
+    pre: EntryPrep | None = None,
 ):
     """Dense-Adam step on a packed (R,128) table with sparse gradient
     entries ``rows`` (M,) int32 (unsorted, duplicates fine; trashbin rows
@@ -580,6 +644,12 @@ def fused_adam_packed(
     rounding is applied in the XLA fallback so the lax.cond branches stay
     semantically aligned.
 
+    ``pre``: optional :class:`EntryPrep` computed by
+    :func:`entry_prep_lanes` for these exact ``rows`` (and the same static
+    C/D/M/n_used) — skips the per-call argsort + searchsorted.  The
+    epoch-window training mode precomputes one per batch window.
+    ``lanes=True`` only.
+
     Returns updated (p128, m128, v128).
     """
     M = rows.shape[0]
@@ -597,11 +667,7 @@ def fused_adam_packed(
     R = C * D // 128
     tb, w = choose_tiles(C, D, M)
     # visit only tiles that can hold touched rows (see n_used docstring)
-    R_used = R
-    if n_used is not None and n_used < C:
-        need = (n_used * D + 127) // 128  # ceil: last used row covered
-        R_used = min(R, (need + tb - 1) // tb * tb)
-        R_used = max(R_used, tb)
+    R_used = _used_rows(R, tb, C, D, n_used)
     T = R_used // tb
 
     # trashbin entries (missed lookups) all target row C-1 and would pile
@@ -609,18 +675,18 @@ def fused_adam_packed(
     # forcing the slow fallback every iteration.  Their gradients are
     # exactly zero by construction (found-masked interpolation weights), so
     # spread them uniformly over the (visited) table and zero them
-    # defensively.
-    trash = rows == C - 1
+    # defensively.  (Row-only work lives in entry_prep_lanes for the lanes
+    # path so batch-window callers can hoist it out of the iteration.)
     hints = dict(unique_indices=True, mode="promise_in_bounds")
     if lanes:
-        spread_p = jnp.arange(M, dtype=jnp.int32) % max(R_used - 1, 1)
-        prow_u = jnp.where(trash, spread_p,
-                           (rows // PACK).astype(jnp.int32))
-        g128 = jnp.where(trash[:, None], 0.0, grads)
-        order = jnp.argsort(prow_u)
-        prow = prow_u.at[order].get(**hints)
-        g128 = g128.at[order].get(**hints)
+        if pre is None:
+            pre = entry_prep_lanes(rows, C, D, n_used)
+        g128 = grads.at[pre.order].get(**hints)
+        g128 = jnp.where(pre.trash[:, None], 0.0, g128)
+        prow_p, offs, ok = pre.prow_p, pre.offs, pre.ok
+        Mpad = prow_p.shape[1]
     else:
+        trash = rows == C - 1
         spread = (jnp.arange(M, dtype=rows.dtype) * PACK) % max(
             min(C - 1, R_used * PACK - 1), 1)
         rows = jnp.where(trash, spread, rows)
@@ -635,28 +701,28 @@ def fused_adam_packed(
         g_rep = jnp.tile(grads_s, (1, PACK))  # g_rep[k, l] = grads[k, l % D]
         mask = (lane[None, :] // D) == (rows_s % PACK)[:, None].astype(jnp.int32)
         g128 = jnp.where(mask, g_rep, 0.0)
+
+        Mpad = ((M + w - 1) // w) * w + w
+        prow_p = jnp.full((1, Mpad), -1, jnp.int32).at[0, :M].set(prow)
+        bounds = jnp.arange(T + 1, dtype=jnp.int32) * tb
+        wstart = jnp.searchsorted(prow, bounds).astype(jnp.int32)
+        offs = jnp.minimum(wstart[:-1] // w, Mpad // w - 2).astype(jnp.int32)
+        # every tile's entries must fit its two w-blocks; a pathologically
+        # clustered batch falls back to the XLA formulation.  With n_used,
+        # all entries must also land in visited tiles (violated only if the
+        # caller's promise is wrong — then the fallback full sweep still
+        # gives the right answer).
+        ok = jnp.all(wstart[1:] <= offs * w + 2 * w)
+        if R_used < R:
+            ok = jnp.logical_and(ok, wstart[-1] == M)
+
     g_hi = g128.astype(jnp.bfloat16)
     g_lo = (None if grads_bf16
             else (g128 - g_hi.astype(jnp.float32)).astype(jnp.bfloat16))
-
-    Mpad = ((M + w - 1) // w) * w + w
-    prow_p = jnp.full((1, Mpad), -1, jnp.int32).at[0, :M].set(prow)
     pad_g = jnp.zeros((Mpad - M, 128), jnp.bfloat16)
     g_hi = jnp.concatenate([g_hi, pad_g], axis=0)
     if g_lo is not None:
         g_lo = jnp.concatenate([g_lo, pad_g], axis=0)
-
-    bounds = jnp.arange(T + 1, dtype=jnp.int32) * tb
-    wstart = jnp.searchsorted(prow, bounds).astype(jnp.int32)
-    offs = jnp.minimum(wstart[:-1] // w, Mpad // w - 2).astype(jnp.int32)
-    # every tile's entries must fit its two w-blocks; a pathologically
-    # clustered batch falls back to the XLA formulation.  With n_used, all
-    # entries must also land in visited tiles (violated only if the caller's
-    # promise is wrong — then the fallback full sweep still gives the right
-    # answer).
-    ok = jnp.all(wstart[1:] <= offs * w + 2 * w)
-    if R_used < R:
-        ok = jnp.logical_and(ok, wstart[-1] == M)
     scal = jnp.stack([lr, bc1, bc2, jnp.float32(0)]).astype(jnp.float32)
 
     def do_pallas(args):

@@ -558,6 +558,7 @@ def train_chunk(
     n_iters: int,
     batch_sharding=None,
     pre_lookups=None,
+    batch_windows=None,
 ):
     """Run ``n_iters`` optimization steps in one compiled scan.
 
@@ -575,9 +576,32 @@ def train_chunk(
     the SAME (tables, pool) — per-iteration hash probes become plain
     gathers.  The caller owns invalidation: recompute whenever the map
     structure or the uploaded pool contents change.
+
+    ``batch_windows``: optional output of :func:`precompute_batch_windows`
+    for the SAME (pre_lookups, n_valid) — iteration ``t`` trains on epoch
+    window ``t % W`` instead of an iid randint draw, and the update
+    kernel's row-only prep (argsort + tile windows) comes precomputed.
+    SAMPLING-SEMANTICS DELTA vs the reference: epoch-style
+    without-replacement windows of one fixed shuffle instead of iid
+    batches (the loss/optimizer math per batch is unchanged).  Requires
+    the single-chip pallas path, point-mode loss, no consistency term,
+    and ``pre_lookups``.
     """
     feat_shapes = tuple(tuple(f.shape) for f in params["features"])
     mode = _resolve_mode(settings, feat_shapes, batch_sharding)
+    if batch_windows is not None and not (
+        mode == "pallas"
+        and batch_sharding is None
+        and not settings.fuse_update_levels
+        and not settings.ray_loss
+        and not settings.consistency_loss_on
+        and pre_lookups is not None
+    ):
+        raise ValueError(
+            "batch_windows requires the single-chip pallas update "
+            "(feature_update: pallas, no fuse_update_levels), point-mode "
+            f"loss without consistency, and pre_lookups (mode: {mode})"
+        )
     if opt_state.m["features"][0].dtype == jnp.bfloat16 and mode != "pallas":
         # only the pallas update (and its fallbacks) preserves the bf16
         # moment carry; the other formulations would promote it to f32 and
@@ -602,7 +626,7 @@ def train_chunk(
     params, opt_state, aux = _train_chunk_impl(
         params, opt_state, tables, pool, shadow, n_valid, start_iter, key,
         settings, n_iters, batch_sharding, mode, feat_shapes, pre_lookups,
-        fuse_tables,
+        fuse_tables, batch_windows,
     )
     if mode == "pallas":
         if fuse_tables:
@@ -644,6 +668,7 @@ def _train_chunk_impl(
     feat_shapes=(),
     pre_lookups=None,
     fuse_tables: bool = False,
+    batch_windows=None,
 ):
     s = settings
     lr_scale_tree, wd_tree = make_group_trees(
@@ -837,7 +862,17 @@ def _train_chunk_impl(
         # same split structure as body_dense so dense/fused runs with equal
         # seeds draw identical batches (equivalence-testable)
         key, k_idx, k_loss = jax.random.split(key, 3)
-        batch, idx = sample_batch(k_idx)
+        if batch_windows is not None:
+            # epoch-window mode: iteration t trains on window t % W of the
+            # precomputed shuffle (resume-continuous by construction); the
+            # update kernel's row-only prep comes stacked per window
+            W = batch_windows["idx"].shape[0]
+            wsel = jnp.mod(start_iter + it, W)
+            idx = batch_windows["idx"][wsel]
+            batch = _gather_batch(pool, idx, s)
+        else:
+            wsel = None
+            batch, idx = sample_batch(k_idx)
         coords = batch["coord"]
 
         def gather_rows(i, c_i):
@@ -1006,6 +1041,11 @@ def _train_chunk_impl(
                         rows, g, level_lr, bc1, bc2,
                     )
                 else:
+                    pre_i = None
+                    if batch_windows is not None:
+                        pre_i = jax.tree_util.tree_map(
+                            lambda a: a[wsel], batch_windows["preps"][i]
+                        )
                     f_n, m_n, v_n = adam_kernel.fused_adam_packed(
                         params["features"][i],
                         opt_state.m["features"][i],
@@ -1015,6 +1055,7 @@ def _train_chunk_impl(
                         lanes=True,
                         n_used=s.n_used[i] if s.n_used else None,
                         grads_bf16=bf16_update,
+                        pre=pre_i,
                     )
                 new_feats.append(f_n)
                 new_m.append(m_n)
@@ -1126,6 +1167,60 @@ def precompute_pool_lookups(tables, pool_coord, levels, capacities):
         return corners.reshape(-1, 8), fnd.reshape(-1)
 
     return tuple(level_pre(i, lvl) for i, lvl in enumerate(levels))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_valid", "settings", "feat_shapes")
+)
+def precompute_batch_windows(pre_lookups, n_valid: int, key, settings,
+                             feat_shapes):
+    """Epoch-style batch windows with the update kernel's row-only prep
+    hoisted out of the iteration.
+
+    One fixed shuffle of the ``n_valid`` pool samples is cut into
+    ``W = n_valid // bs`` windows; iteration ``t`` trains on window
+    ``t % W``.  Because each window's sample set is frozen, the pallas
+    update's gradient-independent work — trash spreading, the entry
+    argsort by packed row, and the per-tile gradient-window offsets
+    (:func:`adam_kernel.entry_prep_lanes`) — is computed here ONCE per
+    window instead of every iteration.
+
+    Sampling-semantics delta vs the reference's iid randint batches:
+    without-replacement epochs of one fixed permutation (standard epoch
+    training; per-batch loss/optimizer math unchanged).  Opt-in via
+    ``tpu.batch_windows``.
+
+    Memory: ~(3 x M x 4 B + Mpad x 4 B) per window per level (~0.6 MB at
+    bs 8192) — ~450 MB for a 2M-sample pool at ICRA scale.
+
+    Returns {"idx": (W, bs) int32, "preps": per-level stacked EntryPrep};
+    pass as ``train_chunk(..., batch_windows=...)``.  The caller owns
+    invalidation: recompute whenever ``pre_lookups`` is recomputed (map
+    growth / pool rotation).
+    """
+    s = settings
+    W = max(int(n_valid) // s.bs, 1)
+    perm = jax.random.permutation(key, n_valid)
+    if W * s.bs > n_valid:  # single short window: wrap the shuffle
+        reps = -((W * s.bs) // -n_valid)
+        perm = jnp.tile(perm, reps)
+    win_idx = perm[: W * s.bs].reshape(W, s.bs).astype(jnp.int32)
+    if s.sort_batch:
+        win_idx = jnp.sort(win_idx, axis=1)
+
+    def level_windows(i):
+        C_i, D_i = feat_shapes[i]
+        corners_pool = pre_lookups[i][0]
+        n_used_i = s.n_used[i] if s.n_used else None
+
+        def one(idxw):
+            rows = corners_pool[idxw].reshape(-1)
+            return adam_kernel.entry_prep_lanes(rows, C_i, D_i, n_used_i)
+
+        return jax.lax.map(one, win_idx)
+
+    preps = tuple(level_windows(i) for i in range(len(s.levels)))
+    return {"idx": win_idx, "preps": preps}
 
 
 def pool_to_device(pool, capacity: int, settings: TrainSettings, subset=None):

@@ -1,0 +1,184 @@
+"""Epoch-window batch mode (tpu.batch_windows): precomputed update-kernel
+prep + window sampling.
+
+The windows path changes the SAMPLING (without-replacement epoch windows of
+one fixed shuffle vs the reference's iid randint batches) but must leave the
+per-batch math untouched: `adam_kernel.entry_prep_lanes` is the exact
+row-only prefix of `fused_adam_packed(lanes=True)`, and the trainer merely
+hoists it out of the scan.  Tests here pin the prep invariants the pallas
+kernel relies on, the window partition semantics, and the trainer plumbing
+(chunk-split determinism == resume continuity).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from shine_mapping_tpu.ops import adam_kernel
+from shine_mapping_tpu.train import trainer
+
+from tests.test_trainer import build, default_cfg, make_sphere_pool
+
+
+def _manual_prep(rows, C, D, n_used=None):
+    """Transcription of the pre-refactor inline prep (lanes=True branch of
+    fused_adam_packed) — guards the extraction refactor."""
+    rows = np.asarray(rows)
+    M = rows.shape[0]
+    PACK = 128 // D
+    R = C * D // 128
+    tb, w = adam_kernel.choose_tiles(C, D, M)
+    R_used = R
+    if n_used is not None and n_used < C:
+        need = (n_used * D + 127) // 128
+        R_used = max(min(R, (need + tb - 1) // tb * tb), tb)
+    T = R_used // tb
+    trash = rows == C - 1
+    spread_p = np.arange(M, dtype=np.int32) % max(R_used - 1, 1)
+    prow_u = np.where(trash, spread_p, (rows // PACK).astype(np.int32))
+    order = np.argsort(prow_u, kind="stable")
+    prow = prow_u[order]
+    Mpad = ((M + w - 1) // w) * w + w
+    prow_p = np.full((1, Mpad), -1, np.int32)
+    prow_p[0, :M] = prow
+    bounds = np.arange(T + 1, dtype=np.int32) * tb
+    wstart = np.searchsorted(prow, bounds).astype(np.int32)
+    offs = np.minimum(wstart[:-1] // w, Mpad // w - 2).astype(np.int32)
+    ok = bool(np.all(wstart[1:] <= offs * w + 2 * w))
+    if R_used < R:
+        ok = ok and bool(wstart[-1] == M)
+    return order, trash[order], prow_p, offs, ok, (tb, w, R_used)
+
+
+@pytest.mark.parametrize("n_used", [None, 3000])
+def test_entry_prep_lanes_matches_inline_transcription(n_used):
+    rng = np.random.default_rng(3)
+    C, D, M = 1 << 12, 8, 4096
+    rows = rng.integers(0, C - 1, M).astype(np.int32)
+    rows[rng.random(M) < 0.1] = C - 1  # trashbin entries
+    if n_used is not None:
+        rows = np.where(rows == C - 1, rows,
+                        rows % n_used).astype(np.int32)
+
+    pre = adam_kernel.entry_prep_lanes(jnp.asarray(rows), C, D, n_used)
+    order, trash_s, prow_p, offs, ok, _ = _manual_prep(rows, C, D, n_used)
+
+    # jnp.argsort is stable -> orders agree exactly
+    np.testing.assert_array_equal(np.asarray(pre.order), order)
+    np.testing.assert_array_equal(np.asarray(pre.trash), trash_s)
+    np.testing.assert_array_equal(np.asarray(pre.prow_p), prow_p)
+    np.testing.assert_array_equal(np.asarray(pre.offs), offs)
+    assert bool(pre.ok) == ok
+
+
+def test_entry_prep_window_coverage_invariant():
+    """The kernel contract: every tile's entries lie inside its two
+    w-blocks, and (with n_used) every entry lands in a visited tile."""
+    rng = np.random.default_rng(11)
+    C, D, M = 1 << 13, 8, 8192
+    rows = rng.integers(0, C - 1, M).astype(np.int32)
+    pre = adam_kernel.entry_prep_lanes(jnp.asarray(rows), C, D, None)
+    assert bool(pre.ok), "uniform rows must not overflow the tile windows"
+    tb, w = adam_kernel.choose_tiles(C, D, M)
+    prow = np.asarray(pre.prow_p)[0, :M]
+    offs = np.asarray(pre.offs)
+    for t in range(len(offs)):
+        inside = np.nonzero((prow >= t * tb) & (prow < (t + 1) * tb))[0]
+        if inside.size:
+            assert inside.min() >= offs[t] * w
+            assert inside.max() < offs[t] * w + 2 * w
+
+
+def test_precompute_batch_windows_partitions_the_pool():
+    pool, surf = make_sphere_pool(2000, seed=5)
+    cfg = default_cfg(bs=256)
+    grid, settings, params, _, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="pallas"
+    )
+    feat_shapes = tuple(tuple(f.shape) for f in params["features"])
+    pre = trainer.precompute_pool_lookups(
+        tuple(grid.tables), dev_pool["coord"], tuple(grid.levels),
+        tuple(f.shape[0] for f in params["features"]),
+    )
+    n = int(n_valid)
+    win = trainer.precompute_batch_windows(
+        pre, n, jax.random.PRNGKey(0), settings, feat_shapes
+    )
+    W = n // settings.bs
+    idx = np.asarray(win["idx"])
+    assert idx.shape == (W, settings.bs)
+    # one epoch = a without-replacement partition (up to the dropped tail)
+    flat = idx.reshape(-1)
+    assert len(np.unique(flat)) == flat.size
+    assert flat.min() >= 0 and flat.max() < n
+    # stacked per-level preps align with the window count
+    for lvl_prep in win["preps"]:
+        assert lvl_prep.order.shape[0] == W
+        assert lvl_prep.ok.shape == (W,)
+
+
+def test_train_chunk_windows_chunk_split_consistency():
+    """Window selection is (start_iter + it) % W — a run split into two
+    chunks must reproduce the single-chunk run exactly (this is also what
+    makes a resumed run continue the same epoch sequence)."""
+    pool, surf = make_sphere_pool(1500, seed=9)
+    cfg = default_cfg(bs=256)
+    grid, settings, params, opt_state, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="pallas"
+    )
+    feat_shapes = tuple(tuple(f.shape) for f in params["features"])
+    tables = tuple(grid.tables)
+    caps = tuple(f.shape[0] for f in params["features"])
+    pre = trainer.precompute_pool_lookups(
+        tables, dev_pool["coord"], tuple(grid.levels), caps
+    )
+    win = trainer.precompute_batch_windows(
+        pre, int(n_valid), jax.random.PRNGKey(1), settings, feat_shapes
+    )
+    key = jax.random.PRNGKey(2)
+
+    def run(splits):
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        o = jax.tree_util.tree_map(jnp.copy, opt_state)
+        start = 0
+        for n in splits:
+            p, o, aux = trainer.train_chunk(
+                p, o, tables, dev_pool, trainer.empty_shadow(p["features"]),
+                n_valid, jnp.int32(start), key, settings, n,
+                pre_lookups=pre, batch_windows=win,
+            )
+            start += n
+        return p, aux
+
+    p_once, _ = run([6])
+    p_split, _ = run([2, 4])
+    for a, b in zip(p_once["features"], p_split["features"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_chunk_windows_gate():
+    """batch_windows with an incompatible configuration must raise."""
+    pool, surf = make_sphere_pool(1000, seed=13)
+    cfg = default_cfg(bs=256)
+    grid, settings, params, opt_state, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="pallas", consistency_loss_on=True,
+        consistency_count=32,
+    )
+    feat_shapes = tuple(tuple(f.shape) for f in params["features"])
+    tables = tuple(grid.tables)
+    caps = tuple(f.shape[0] for f in params["features"])
+    pre = trainer.precompute_pool_lookups(
+        tables, dev_pool["coord"], tuple(grid.levels), caps
+    )
+    win = trainer.precompute_batch_windows(
+        pre, int(n_valid), jax.random.PRNGKey(1), settings, feat_shapes
+    )
+    with pytest.raises(ValueError, match="batch_windows"):
+        trainer.train_chunk(
+            params, opt_state, tables, dev_pool,
+            trainer.empty_shadow(params["features"]),
+            n_valid, jnp.int32(0), jax.random.PRNGKey(0), settings, 2,
+            pre_lookups=pre, batch_windows=win,
+        )

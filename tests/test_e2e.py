@@ -101,6 +101,32 @@ def test_batch_driver_end_to_end(synth_root, tmp_path):
     assert m["F-score (%)"] > 75.0, m
 
 
+def test_batch_driver_epoch_windows_end_to_end(synth_root, tmp_path, capsys):
+    """tpu.batch_windows (epoch-window sampling + precomputed kernel prep)
+    through the full batch driver: same quality gates as iid sampling."""
+    from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.feature_update = "pallas"
+    cfg.batch_windows = True
+    cfg.vis_freq_iters = cfg.iters  # final mesh
+    run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
+    assert "batch_windows requested but prerequisites unmet" not in capsys.readouterr().out
+
+    mesh_path = run_path + f"/mesh/mesh_iter_{cfg.iters}.ply"
+    assert os.path.exists(mesh_path)
+    gt = synth.gt_surface_points(100_000)
+    gt_path = str(tmp_path / "gt.ply")
+    io.write_ply(gt_path, io.PointCloud(points=gt))
+    m = eval_mesh(
+        mesh_path, gt_path, down_sample_res=0.05, threshold=0.2,
+        truncation_acc=0.4, truncation_com=2.0, mesh_sample_point=300_000,
+    )
+    print({k: round(v, 4) for k, v in m.items()})
+    assert m["Chamfer_L1 (m)"] < 0.15, m
+    assert m["F-score (%)"] > 75.0, m
+
+
 def test_incremental_driver_end_to_end(synth_root, tmp_path):
     from shine_mapping_tpu.cli.shine_incre import run_shine_mapping_incremental
 
