@@ -25,6 +25,9 @@ COMBOS = [
     dict(feature_update="pallas", fuse_update_levels=True),
     dict(feature_update="pallas", sort_batch=True, _n_used=True),
     dict(feature_update="pallas", _moments_bf16=True, _n_used=True),
+    # epoch-window sampling x bf16 update x used-rows sweep
+    dict(feature_update="pallas", _moments_bf16=True, _n_used=True,
+         _batch_windows=True),
 ]
 
 
@@ -35,6 +38,7 @@ def test_flag_combo_trains_finite(combo):
     combo = dict(combo)
     moments_bf16 = combo.pop("_moments_bf16", False)
     with_n_used = combo.pop("_n_used", False)
+    with_windows = combo.pop("_batch_windows", False)
     pool, surf = make_sphere_pool(800, seed=13)
     cfg = default_cfg(bs=512)
     if combo.get("time_conditioned"):
@@ -47,10 +51,21 @@ def test_flag_combo_trains_finite(combo):
             settings, n_used=trainer.used_rows_for(grid))
     if moments_bf16:
         opt_state = init_opt_state(params, moments_bf16=True)
+    pre_lookups = batch_windows = None
+    if with_windows:
+        caps = tuple(f.shape[0] for f in params["features"])
+        pre_lookups = trainer.precompute_pool_lookups(
+            tuple(grid.tables), dev_pool["coord"], tuple(grid.levels), caps
+        )
+        batch_windows = trainer.precompute_batch_windows(
+            pre_lookups, int(n_valid), jax.random.PRNGKey(3), settings,
+            tuple(tuple(f.shape) for f in params["features"]),
+        )
     shadow = trainer.empty_shadow(params["features"])
     params, opt_state, aux = trainer.train_chunk(
         params, opt_state, tuple(grid.tables), dev_pool, shadow,
         n_valid, jnp.int32(0), jax.random.PRNGKey(0), settings, 3,
+        pre_lookups=pre_lookups, batch_windows=batch_windows,
     )
     assert np.isfinite(float(aux["mean"]["total_loss"])), combo
     for leaf in jax.tree_util.tree_leaves(params):
