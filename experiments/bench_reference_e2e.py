@@ -110,8 +110,12 @@ def build_world_and_pool(cfg):
     return grid, dataset
 
 
-def run_ours(cfg, grid, dataset):
-    """Train + mesh with this framework; returns (mesh_path, seconds)."""
+def run_ours(cfg, grid, dataset, windows: bool = False, tag: str = "ours"):
+    """Train + mesh with this framework; returns (mesh_path, seconds).
+
+    ``windows=True`` exercises the tpu.batch_windows sampling mode (epoch
+    windows + precomputed kernel prep) so its documented sampling delta
+    gets a quality row against the reference too."""
     import jax
     import jax.numpy as jnp
 
@@ -119,7 +123,9 @@ def run_ours(cfg, grid, dataset):
     from shine_mapping_tpu.train import trainer
     from shine_mapping_tpu.train.optimizer import init_opt_state
 
-    settings = trainer.TrainSettings.from_config(cfg, grid.levels)
+    settings = trainer.TrainSettings.from_config(
+        cfg, grid.levels, feature_update="pallas" if windows else "fused"
+    )
     params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
     opt_state = init_opt_state(params)
@@ -128,6 +134,16 @@ def run_ours(cfg, grid, dataset):
         dataset.pool, cfg.init_pool_capacity, settings
     )
     tables = tuple(grid.tables)
+    pre_lookups = batch_windows = None
+    if windows:
+        caps = tuple(f.shape[0] for f in params["features"])
+        pre_lookups = trainer.precompute_pool_lookups(
+            tables, dev_pool["coord"], tuple(grid.levels), caps
+        )
+        batch_windows = trainer.precompute_batch_windows(
+            pre_lookups, int(n_valid), jax.random.PRNGKey(5157), settings,
+            tuple(tuple(f.shape) for f in params["features"]),
+        )
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
     done = 0
@@ -137,18 +153,19 @@ def run_ours(cfg, grid, dataset):
         params, opt_state, aux = trainer.train_chunk(
             params, opt_state, tables, dev_pool, shadow, n_valid,
             jnp.int32(done), k, settings, n,
+            pre_lookups=pre_lookups, batch_windows=batch_windows,
         )
         done += n
     loss = float(aux["mean"]["total_loss"])
     t_train = time.perf_counter() - t0
-    print(f"[ours] trained {cfg.iters} iters in {t_train:.1f}s "
+    print(f"[{tag}] trained {cfg.iters} iters in {t_train:.1f}s "
           f"(loss {loss:.4f})", flush=True)
 
     from shine_mapping_tpu.cli.common import sync_features_to_grid
 
     sync_features_to_grid(grid, params)
     mesher = Mesher(cfg, grid, params["geo"], params.get("sem"))
-    mesh_path = os.path.join(cfg.output_root, "ours.ply")
+    mesh_path = os.path.join(cfg.output_root, f"{tag}.ply")
     t0 = time.perf_counter()
     mesher.recon_bbx_mesh(dataset.map_bbx, cfg.mc_res_m, mesh_path, "",
                           estimate_sem=False)
@@ -302,8 +319,17 @@ def main() -> None:
           f"corners/level {[int(hl.n_corners) for hl in grid.host_levels]}",
           flush=True)
 
+    init_feats = [np.asarray(f).copy() for f in grid.features]
     ours_mesh, ours_train_s, ours_mesh_s, mesher = run_ours(
         cfg, grid, dataset
+    )
+    # second "ours" pass: the tpu.batch_windows sampling mode, from the
+    # same initial features (sync_features_to_grid mutated them)
+    import jax.numpy as jnp
+
+    grid.features = [jnp.asarray(f) for f in init_feats]
+    win_mesh, win_train_s, win_mesh_s, _ = run_ours(
+        cfg, grid, dataset, windows=True, tag="ours_windows"
     )
     ref_mesh, ref_train_s, ref_mesh_s = run_reference(cfg, dataset, mesher)
 
@@ -314,6 +340,7 @@ def main() -> None:
     eval_kw = dict(down_sample_res=0.05, threshold=0.2, truncation_acc=0.4,
                    truncation_com=2.0, mesh_sample_point=300_000)
     m_ours = eval_mesh(ours_mesh, gt_path, **eval_kw)
+    m_win = eval_mesh(win_mesh, gt_path, **eval_kw)
     m_ref = eval_mesh(ref_mesh, gt_path, **eval_kw)
 
     result = {
@@ -329,6 +356,18 @@ def main() -> None:
             "train_s": round(ours_train_s, 2),
             "mesh_s": round(ours_mesh_s, 2),
             "points_per_s": round(cfg.iters * cfg.bs / ours_train_s, 1),
+        },
+        "ours_windows": {
+            "chamfer_l1_m": m_win["Chamfer_L1 (m)"],
+            "f_score_pct": m_win["F-score (%)"],
+            "mae_acc_m": m_win.get("MAE_accuracy (m)"),
+            "train_s": round(win_train_s, 2),
+            "mesh_s": round(win_mesh_s, 2),
+            "points_per_s": round(cfg.iters * cfg.bs / win_train_s, 1),
+            # this row exists for the QUALITY comparison of the epoch-window
+            # sampling delta; on CPU the pallas update runs its (slower) XLA
+            # fallback, so its timing says nothing about the TPU kernel
+            "note": "CPU timing = pallas XLA fallback; quality row only",
         },
         "reference": {
             "chamfer_l1_m": m_ref["Chamfer_L1 (m)"],
