@@ -32,26 +32,17 @@ import numpy as np
 REF_BASELINE_POINTS_PER_S = 139863.0
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
-    # persistent compile cache: repeated bench runs skip the (minutes-long)
-    # remote compiles of the train executables
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/shine_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
+def build_bench_world():
+    """The benchmark's ICRA'23 MaiCity-batch shaped problem
+    (config_icra2023/maicity_batch.yaml shapes: bs 8192, 3 featured levels,
+    feature dim 8, 12 world levels; ~3M corners/level after growth).
+    Shared with experiments that A/B against this exact world
+    (experiments/exp_batch_windows.py).  Returns (cfg, grid, pool, n_pool).
+    """
     from shine_mapping_tpu.config import SHINEConfig
     from shine_mapping_tpu.data.dataset import SamplePool
     from shine_mapping_tpu.ops.hashgrid import HashGridHost
-    from shine_mapping_tpu.train import trainer
-    from shine_mapping_tpu.train.optimizer import init_opt_state
 
-    # ICRA'23 MaiCity-batch shaped problem (config_icra2023/maicity_batch.yaml):
-    # bs 8192, 3 featured levels, feature dim 8, 12 world levels
     cfg = SHINEConfig()
     cfg.tree_level_world = 12
     cfg.tree_level_feat = 3
@@ -94,6 +85,25 @@ def main() -> None:
         origin=np.zeros((n_pool, 3), np.float32),
         time=np.zeros(n_pool, np.float32),
     )
+    return cfg, grid, pool, n_pool
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: repeated bench runs skip the (minutes-long)
+    # remote compiles of the train executables
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/shine_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from shine_mapping_tpu.train import trainer
+    from shine_mapping_tpu.train.optimizer import init_opt_state
+
+    cfg, grid, pool, n_pool = build_bench_world()
 
     import sys
 

@@ -30,58 +30,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, "/root/repo")
 
-from shine_mapping_tpu.config import SHINEConfig
-from shine_mapping_tpu.data.dataset import SamplePool
+from bench import build_bench_world
 from shine_mapping_tpu.ops import adam_kernel
-from shine_mapping_tpu.ops.hashgrid import HashGridHost
 from shine_mapping_tpu.train import trainer
 from shine_mapping_tpu.train.optimizer import init_opt_state
 
 
-def build_world():
-    cfg = SHINEConfig()
-    cfg.tree_level_world = 12
-    cfg.tree_level_feat = 3
-    cfg.leaf_vox_size = 0.2
-    cfg.bs = 8192
-    cfg.lr = 0.01
-    cfg.derive()
-
-    rng = np.random.default_rng(0)
-    n_surf = 400_000
-    xy = rng.uniform(-0.9, 0.9, (n_surf, 2))
-    z = 0.08 * np.sin(4 * xy[:, 0]) * np.cos(3 * xy[:, 1])
-    surf = np.stack([xy[:, 0], xy[:, 1], z], axis=1)
-    band = surf + rng.normal(0, 0.003, surf.shape)
-
-    grid = HashGridHost(
-        max_level=cfg.tree_level_world,
-        featured_level_num=cfg.tree_level_feat,
-        feature_dim=cfg.feature_dim,
-        feature_std=cfg.feature_std,
-        seed=0,
-        init_node_capacity=1 << 19,
-        init_corner_capacity=1 << 19,
-    )
-    grid.update(band)
-
-    n_pool = 2_000_000
-    coord = np.repeat(band, 5, axis=0)[:n_pool].astype(np.float32)
-    coord += rng.normal(0, 0.01, coord.shape).astype(np.float32)
-    sdf = rng.normal(0, 0.01, n_pool).astype(np.float32)
-    weight = np.where(rng.random(n_pool) < 0.7, 1.0, -1.0).astype(np.float32)
-    pool = SamplePool(
-        coord=coord, sdf_label=sdf, weight=weight,
-        sample_depth=np.zeros(n_pool, np.float32),
-        ray_depth=np.zeros(n_pool // 7 + 1, np.float32),
-        origin=np.zeros((n_pool, 3), np.float32),
-        time=np.zeros(n_pool, np.float32),
-    )
-    return cfg, grid, pool, n_pool
-
-
 def main():
-    cfg, grid, pool, n_pool = build_world()
+    cfg, grid, pool, n_pool = build_bench_world()
     settings = trainer.TrainSettings.from_config(
         cfg, grid.levels, feature_update="pallas",
         n_used=trainer.used_rows_for(grid, granularity=64),

@@ -176,11 +176,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     use_windows = (
         cfg.batch_windows
         and cfg.precompute_lookups
-        and batch_sharding is None
-        and not cfg.fuse_update_levels
-        and not cfg.ray_loss
-        and not cfg.consistency_loss_on
-        and trainer.resolve_feature_update(settings, feat_shapes) == "pallas"
+        and trainer.batch_windows_ok(settings, feat_shapes, batch_sharding)
     )
     if cfg.batch_windows and not use_windows:
         print("tpu.batch_windows requested but prerequisites unmet "

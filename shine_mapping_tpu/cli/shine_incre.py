@@ -152,7 +152,12 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
         # shapes), so no extra executables in steady state
         pre_lookups = None
         if (cfg.precompute_lookups
-                and cfg.iters * cfg.bs >= PRECOMPUTE_WORK_RATIO * capacity):
+                and cfg.iters * cfg.bs >= PRECOMPUTE_WORK_RATIO * capacity
+                # sparse/dense chunks ignore pre_lookups — don't pay a
+                # full-pool sweep per frame the trainer would discard
+                and trainer.resolve_feature_update(
+                    settings, feat_shapes, batch_sharding)
+                in ("fused", "pallas")):
             pre_lookups = trainer.precompute_pool_lookups(
                 tables, dev_pool["coord"], tuple(grid.levels),
                 tuple(f.shape[0] for f in grid.features),

@@ -68,11 +68,21 @@ def setup_distributed(cfg) -> tuple[int, int]:
         # opt-in (single-chip dev tunnels export misleading TPU_* vars)
         jax.distributed.initialize()
     else:
-        # single-process: do NOT query jax.process_index() — it initializes
-        # a backend, and platform plugins that hook get_backend (axon) then
-        # force their own device bring-up even under jax_platforms=cpu
-        # (observed hanging driver startup when the TPU tunnel is down)
-        return 0, 1
+        # an external launcher may have called jax.distributed.initialize()
+        # before the driver — honor its rank/world in that case
+        try:
+            from jax._src import distributed as _dist
+
+            externally_up = _dist.global_state.client is not None
+        except Exception:  # pragma: no cover - jax internals moved
+            externally_up = False
+        if not externally_up:
+            # single-process: do NOT query jax.process_index() — it
+            # initializes a backend, and platform plugins that hook
+            # get_backend (axon) then force their own device bring-up even
+            # under jax_platforms=cpu (observed hanging driver startup when
+            # the TPU tunnel is down)
+            return 0, 1
     return jax.process_index(), jax.process_count()
 
 

@@ -165,6 +165,22 @@ def resolve_feature_update(settings: "TrainSettings", feat_shapes,
     return _resolve_mode(settings, feat_shapes, batch_sharding)
 
 
+def batch_windows_ok(settings: "TrainSettings", feat_shapes,
+                     batch_sharding=None) -> bool:
+    """Is epoch-window sampling (tpu.batch_windows) usable here?  The ONE
+    predicate both the driver's soft gate (fall back to iid with a
+    message) and train_chunk's hard gate (ValueError) share — keep them
+    from drifting.  Windows also require pre_lookups; callers check that
+    separately since it is an argument, not a setting."""
+    return (
+        _resolve_mode(settings, feat_shapes, batch_sharding) == "pallas"
+        and batch_sharding is None
+        and not settings.fuse_update_levels
+        and not settings.ray_loss
+        and not settings.consistency_loss_on
+    )
+
+
 def used_rows_for(grid, granularity: int = 16) -> Tuple[int, ...]:
     """Per-level used-corner hints for TrainSettings.n_used (the pallas
     sweep skips capacity-headroom tiles — adam_kernel.used_rows_hint)."""
@@ -590,11 +606,7 @@ def train_chunk(
     feat_shapes = tuple(tuple(f.shape) for f in params["features"])
     mode = _resolve_mode(settings, feat_shapes, batch_sharding)
     if batch_windows is not None and not (
-        mode == "pallas"
-        and batch_sharding is None
-        and not settings.fuse_update_levels
-        and not settings.ray_loss
-        and not settings.consistency_loss_on
+        batch_windows_ok(settings, feat_shapes, batch_sharding)
         and pre_lookups is not None
     ):
         raise ValueError(
@@ -1178,8 +1190,11 @@ def precompute_batch_windows(pre_lookups, n_valid: int, key, settings,
     hoisted out of the iteration.
 
     One fixed shuffle of the ``n_valid`` pool samples is cut into
-    ``W = n_valid // bs`` windows; iteration ``t`` trains on window
-    ``t % W``.  Because each window's sample set is frozen, the pallas
+    ``bs``-sized windows; iteration ``t`` trains on window ``t % W``.
+    The shuffle tail (n_valid mod bs samples) is folded into one extra
+    window padded by wrapping to the shuffle's start, so EVERY pool
+    sample trains each epoch.  Because each window's sample set is
+    frozen, the pallas
     update's gradient-independent work — trash spreading, the entry
     argsort by packed row, and the per-tile gradient-window offsets
     (:func:`adam_kernel.entry_prep_lanes`) — is computed here ONCE per
@@ -1199,9 +1214,11 @@ def precompute_batch_windows(pre_lookups, n_valid: int, key, settings,
     growth / pool rotation).
     """
     s = settings
-    W = max(int(n_valid) // s.bs, 1)
+    # every sample trains each epoch: the shuffle tail gets its own window
+    # padded by wrapping to the shuffle's start (ceil division)
+    W = max(-(int(n_valid) // -s.bs), 1)
     perm = jax.random.permutation(key, n_valid)
-    if W * s.bs > n_valid:  # single short window: wrap the shuffle
+    if W * s.bs > n_valid:
         reps = -((W * s.bs) // -n_valid)
         perm = jnp.tile(perm, reps)
     win_idx = perm[: W * s.bs].reshape(W, s.bs).astype(jnp.int32)

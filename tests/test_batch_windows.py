@@ -106,13 +106,15 @@ def test_precompute_batch_windows_partitions_the_pool():
     win = trainer.precompute_batch_windows(
         pre, n, jax.random.PRNGKey(0), settings, feat_shapes
     )
-    W = n // settings.bs
+    W = -(n // -settings.bs)  # ceil: the shuffle tail gets its own window
     idx = np.asarray(win["idx"])
     assert idx.shape == (W, settings.bs)
-    # one epoch = a without-replacement partition (up to the dropped tail)
     flat = idx.reshape(-1)
-    assert len(np.unique(flat)) == flat.size
+    # one epoch covers EVERY pool sample (the tail window wraps to the
+    # shuffle's start, so only W*bs - n wrap duplicates exist)
+    assert len(np.unique(flat)) == n
     assert flat.min() >= 0 and flat.max() < n
+    assert flat.size - n == W * settings.bs - n
     # stacked per-level preps align with the window count
     for lvl_prep in win["preps"]:
         assert lvl_prep.order.shape[0] == W
