@@ -91,6 +91,67 @@ def test_entry_prep_window_coverage_invariant():
             assert inside.max() < offs[t] * w + 2 * w
 
 
+@pytest.mark.parametrize("grads_bf16,n_used", [(False, None), (True, 3000)])
+def test_kernel_pre_path_bit_equals_live_prep(grads_bf16, n_used):
+    """The REAL pallas kernel (interpret mode on CPU) with a precomputed
+    EntryPrep must produce BIT-identical output to the live-prep call —
+    `pre` only moves where the row-only work happens.  Also bounds the
+    kernel against the XLA twin."""
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(7)
+    C, D, M = 1 << 12, 8, 2048
+    p = rng.normal(size=(C, D)).astype(np.float32)
+    m = (rng.normal(size=(C, D)) * 0.1).astype(np.float32)
+    v = np.abs(rng.normal(size=(C, D)) * 0.01).astype(np.float32)
+    if n_used is not None:
+        # the n_used contract (used_rows_hint): headroom rows never appear
+        # in lookups and carry zero moments, so dense Adam leaves them
+        # bit-identical and the kernel may skip their tiles
+        m[n_used:] = 0.0
+        v[n_used:] = 0.0
+    p = p.reshape(-1, 128)
+    m = m.reshape(-1, 128)
+    v = v.reshape(-1, 128)
+    hi = C - 1 if n_used is None else n_used
+    rows = rng.integers(0, hi, M).astype(np.int32)
+    rows[rng.random(M) < 0.05] = C - 1  # trashbin entries (zero grads)
+    g128 = np.zeros((M, 128), np.float32)
+    slot = rows % (128 // D)
+    lane0 = slot * D
+    g_vals = rng.normal(size=(M, D)).astype(np.float32)
+    for k_ in range(M):
+        if rows[k_] != C - 1:
+            g128[k_, lane0[k_]:lane0[k_] + D] = g_vals[k_]
+
+    args = (jnp.asarray(p), jnp.asarray(m), jnp.asarray(v),
+            jnp.asarray(rows), jnp.asarray(g128), jnp.float32(0.01),
+            jnp.float32(0.5), jnp.float32(0.5), C, D)
+    kw = dict(lanes=True, n_used=n_used, grads_bf16=grads_bf16)
+
+    orig = pl.pallas_call
+
+    def interpreted(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pl.pallas_call = interpreted
+    try:
+        live = adam_kernel.fused_adam_packed(*args, use_pallas=True, **kw)
+        pre = adam_kernel.entry_prep_lanes(jnp.asarray(rows), C, D, n_used)
+        assert bool(pre.ok)
+        given = adam_kernel.fused_adam_packed(*args, use_pallas=True,
+                                              pre=pre, **kw)
+    finally:
+        pl.pallas_call = orig
+    for a, b in zip(live, given):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the kernel tracks the XLA twin (bf16 hi/lo split ~ 2e-6 abs)
+    twin = adam_kernel.fused_adam_packed(*args, use_pallas=False, **kw)
+    for a, b in zip(live, twin):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
 def test_precompute_batch_windows_partitions_the_pool():
     pool, surf = make_sphere_pool(2000, seed=5)
     cfg = default_cfg(bs=256)
