@@ -95,6 +95,7 @@ tpu:
   feature_update: pallas
   moments_bf16: true
   precompute_lookups: true
+  batch_windows: {windows}
 """
 
 
@@ -131,8 +132,12 @@ def main() -> None:
           flush=True)
 
     cfg_path = os.path.join(out, "cfg.yaml")
+    # SHINE_DEMO_WINDOWS=1 runs the epoch-window sampling mode
+    # (tpu.batch_windows) instead of iid batches
+    windows = os.environ.get("SHINE_DEMO_WINDOWS", "0") == "1"
     with open(cfg_path, "w") as f:
-        f.write(CFG_TMPL.format(out=out, root=root))
+        f.write(CFG_TMPL.format(out=out, root=root,
+                                windows="true" if windows else "false"))
 
     from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
 
