@@ -127,6 +127,23 @@ def test_batch_driver_epoch_windows_end_to_end(synth_root, tmp_path, capsys):
     assert m["F-score (%)"] > 75.0, m
 
 
+def test_batch_driver_time_conditioned_meshing(synth_root, tmp_path):
+    """Time-conditioned runs mesh once per EVEN timestamp at each vis
+    event (reference shine_batch.py:248-264)."""
+    from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.time_conditioned = True
+    cfg.iters = 100
+    cfg.vis_freq_iters = 100
+    cfg.mc_res_m = 0.3  # coarse: 3 meshes per event
+    run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
+    for ts in (0, 2, 4):
+        path = run_path + f"/mesh/mesh_iter_100_ts_{ts}.ply"
+        assert os.path.exists(path), path
+    assert not os.path.exists(run_path + "/mesh/mesh_iter_100_ts_1.ply")
+
+
 def test_incremental_driver_end_to_end(synth_root, tmp_path):
     from shine_mapping_tpu.cli.shine_incre import run_shine_mapping_incremental
 
