@@ -128,6 +128,22 @@ def test_batch_ray_rendering_loss_matches_torch_transcription():
         ours = float(losses.batch_ray_rendering_loss(jnp.asarray(x), jnp.asarray(y), jnp.asarray(d), neus))
         np.testing.assert_allclose(ours, torch_ref(x, y, d, neus), rtol=1e-4)
 
+    # and against the reference's ACTUAL function (utils/loss.py:82-118),
+    # not just the transcription above
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import importlib
+
+    ref_loss = importlib.import_module("utils.loss")
+    for neus in (False, True):
+        ref = float(ref_loss.batch_ray_rendering_loss(
+            torch.tensor(x), torch.tensor(y), torch.tensor(d), neus_on=neus
+        ))
+        ours = float(losses.batch_ray_rendering_loss(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(d), neus))
+        np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
 
 def test_eikonal_and_normal_losses():
     g = jnp.asarray([[1.0, 0, 0], [0, 2.0, 0], [0, 0, 1.0]])
