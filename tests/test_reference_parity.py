@@ -381,3 +381,95 @@ def test_sampler_parity_with_pinned_randomness(worlds, monkeypatch):
     np.testing.assert_allclose(depth, r_depth.numpy(), **kw)
     np.testing.assert_allclose(raydep, r_raydep.numpy(), **kw)
     np.testing.assert_allclose(nrm, r_nrm.numpy(), **kw)
+
+
+def test_feature_importance_parity(worlds):
+    """The reference's ACTUAL continual-learning importance accumulation
+    (utils/incre_learning.py:8-40, run with its real octree/decoder/
+    autograd) vs ours on identical features, decoder weights and pool:
+    per-corner |grad| accumulations match."""
+    import importlib
+    import types
+
+    fo, dec, _, _, surf = worlds
+
+    # fresh structures WITH the incremental shadows (importance buffers
+    # only exist when update runs with incremental_on)
+    cfg_ref = ref_harness.RefConfig(
+        tree_level_world=6, tree_level_feat=3, leaf_vox_size=0.5
+    )
+    torch.manual_seed(1)
+    octree = fo.FeatureOctree(cfg_ref)
+    octree.update(torch.from_numpy(surf), incremental_on=True)
+    grid = HashGridHost(
+        max_level=6, featured_level_num=3, feature_dim=8, feature_std=0.05,
+        seed=0, init_node_capacity=1 << 12, init_corner_capacity=1 << 12,
+    )
+    grid.update(surf, incremental_on=True)
+    transfer_features(octree, grid)
+
+    geo_ref = dec.Decoder(cfg_ref, is_geo_encoder=True)
+    tmp = "/tmp/ref_parity_decoder_imp.pth"
+    torch.save({"geo_decoder": geo_ref.state_dict()}, tmp)
+    geo_ours = our_decoder.load_torch_decoder(tmp, "geo_decoder")
+
+    rng = np.random.default_rng(9)
+    n, bs = 1536, 512  # exact batches: 'mean' reduction identical per batch
+    coords = (
+        surf[rng.integers(0, surf.shape[0], n)]
+        + rng.normal(0, 0.02, (n, 3))
+    ).astype(np.float32)
+    labels = rng.normal(0, 0.02, n).astype(np.float32)
+    sigma = 0.05
+
+    # the reference module pulls in tqdm/open3d/natsort/pyquaternion via
+    # its LiDARDataset import; stub what the image lacks
+    for name, attrs in (
+        ("wandb", {}), ("open3d", {}),
+        ("tqdm", {"tqdm": lambda x, **k: x}),
+        ("natsort", {"natsorted": sorted}),
+        ("pyquaternion", {"Quaternion": object}),
+    ):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                m = types.ModuleType(name)
+                for a, v in attrs.items():
+                    setattr(m, a, v)
+                sys.modules[name] = m
+    sys.path.insert(0, "/root/reference")
+    il = importlib.import_module("utils.incre_learning")
+
+    data = types.SimpleNamespace(
+        coord_pool=torch.from_numpy(coords),
+        sdf_label_pool=torch.from_numpy(labels),
+    )
+    il.cal_feature_importance(
+        data, octree, geo_ref, sigma, bs, down_rate=1, loss_reduction="mean"
+    )
+
+    from shine_mapping_tpu.train.importance import cal_feature_importance
+
+    cal_feature_importance(
+        grid, geo_ours, coords, labels, sigma=sigma, bs=bs, down_rate=1,
+        loss_reduction="mean",
+    )
+
+    feat_num = octree.featured_level_num
+    for i in range(feat_num):
+        current_level = octree.max_level - i
+        lut = octree.corners_lookup_tables[current_level]
+        mortons = np.array(list(lut.keys()), dtype=np.int64)
+        ref_rows = np.array(list(lut.values()), dtype=np.int64)
+        keys = _pack64(morton_to_points_np(mortons))
+        hl = grid.host_levels[i]
+        pos = np.searchsorted(hl.corner_keys_sorted, keys)
+        our_rows = hl.corner_rows_sorted[pos]
+        ref_imp = octree.importance_weight[feat_num - 1 - i].detach().numpy()
+        our_imp = np.asarray(grid.importance_weight[i])
+        np.testing.assert_allclose(
+            our_imp[our_rows], ref_imp[ref_rows], atol=5e-6, rtol=1e-4,
+        )
+        # trashbin importance pinned to zero on both sides
+        assert np.all(ref_imp[-1] == 0) and np.all(our_imp[-1] == 0)
