@@ -473,3 +473,81 @@ def test_feature_importance_parity(worlds):
         )
         # trashbin importance pinned to zero on both sides
         assert np.all(ref_imp[-1] == 0) and np.all(our_imp[-1] == 0)
+
+
+def test_continual_reg_parity(worlds):
+    """The continual-learning regularizer: our static-shape touched-mask
+    formulation (trainer._continual_reg) equals the reference's ACTUAL
+    cal_regularization (model/feature_octree.py:246-255) on identical
+    features / last-frame snapshots / importance and the same batch."""
+    fo, dec, _, _, surf = worlds
+
+    cfg_ref = ref_harness.RefConfig(
+        tree_level_world=6, tree_level_feat=3, leaf_vox_size=0.5
+    )
+    torch.manual_seed(2)
+    octree = fo.FeatureOctree(cfg_ref)
+    octree.update(torch.from_numpy(surf), incremental_on=True)
+    grid = HashGridHost(
+        max_level=6, featured_level_num=3, feature_dim=8, feature_std=0.05,
+        seed=0, init_node_capacity=1 << 12, init_corner_capacity=1 << 12,
+    )
+    grid.update(surf, incremental_on=True)
+    transfer_features(octree, grid)
+    # identical last-frame snapshot (= the just-transferred features; the
+    # reference cloned its own init at update time, which transfer copied)
+    grid.features_last_frame = [
+        jnp.asarray(np.array(f)) for f in grid.features
+    ]
+
+    # identical importance + perturbed current features, mapped by corner
+    rng = np.random.default_rng(3)
+    feat_num = octree.featured_level_num
+    row_maps = []
+    for i in range(feat_num):
+        lut = octree.corners_lookup_tables[octree.max_level - i]
+        mortons = np.array(list(lut.keys()), dtype=np.int64)
+        ref_rows = np.array(list(lut.values()), dtype=np.int64)
+        keys = _pack64(morton_to_points_np(mortons))
+        hl = grid.host_levels[i]
+        pos = np.searchsorted(hl.corner_keys_sorted, keys)
+        row_maps.append((ref_rows, hl.corner_rows_sorted[pos]))
+        j = feat_num - 1 - i
+        imp_ref = np.abs(rng.normal(0, 1, octree.importance_weight[j].shape)).astype(np.float32)
+        imp_ref[-1] = 0.0
+        octree.importance_weight[j] = torch.from_numpy(imp_ref)
+        with torch.no_grad():
+            delta = 0.01 * torch.randn_like(octree.hier_features[j])
+            delta[-1] = 0.0
+            octree.hier_features[j] += delta
+        our_imp = np.zeros(np.array(grid.features[i]).shape, np.float32)
+        our_imp[row_maps[i][1]] = imp_ref[row_maps[i][0]]
+        grid.importance_weight[i] = jnp.asarray(our_imp)
+    transfer_features(octree, grid)  # copy the perturbed features over
+
+    # batch = exact surface samples: their own nodes are allocated, so
+    # both sides' lookups all hit (jittered points can cross into
+    # unallocated neighbor voxels at the finest level)
+    m = 600
+    coords = surf[rng.integers(0, surf.shape[0], m)].astype(np.float32)
+
+    octree.get_indices(torch.from_numpy(coords))
+    ref_reg = float(octree.cal_regularization())
+
+    from shine_mapping_tpu.ops.hashgrid import lookup_level
+    from shine_mapping_tpu.train.trainer import _continual_reg
+
+    tables = tuple(grid.tables)
+    corners = []
+    for i, level in enumerate(grid.levels):
+        c_i, f_i = lookup_level(tables[i], jnp.asarray(coords), level)
+        assert bool(jnp.all(f_i)), "test batch must be fully in-map"
+        corners.append(c_i)
+    params = {"features": tuple(grid.features)}
+    shadow = {
+        "importance": tuple(grid.importance_weight),
+        "last_frame": tuple(grid.features_last_frame),
+    }
+    our_reg = float(_continual_reg(params, shadow, corners, None))
+    np.testing.assert_allclose(our_reg, ref_reg, rtol=1e-4)
+    assert our_reg > 0
