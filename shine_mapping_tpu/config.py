@@ -230,12 +230,13 @@ class SHINEConfig:
     # per-iteration hash probes become plain gathers.  Batch driver only;
     # fused/pallas modes.
     precompute_lookups: bool = True
-    # epoch-style batch windows: one fixed shuffle cut into n_valid//bs
+    # epoch-style batch windows: one fixed shuffle cut into bs-sized
     # windows, cycled per iteration, with the pallas update's row-only prep
     # (argsort + tile windows) precomputed per window.  SAMPLING DELTA vs
     # the reference's iid batches (without-replacement epochs).  Batch
-    # driver, single-chip pallas, point-mode loss only; needs
-    # precompute_lookups.
+    # driver, pallas update, point-mode loss only; needs
+    # precompute_lookups.  Data-parallel runs supported (the sharded
+    # update island consumes the same precomputed prep).
     batch_windows: bool = False
     # pool capacity in samples (static shape; doubled on overflow)
     init_pool_capacity: int = 1 << 20

@@ -171,10 +171,11 @@ def batch_windows_ok(settings: "TrainSettings", feat_shapes,
     predicate both the driver's soft gate (fall back to iid with a
     message) and train_chunk's hard gate (ValueError) share — keep them
     from drifting.  Windows also require pre_lookups; callers check that
-    separately since it is an argument, not a setting."""
+    separately since it is an argument, not a setting.  Data-parallel runs
+    are supported: the sharded update island re-spreads the narrow entry
+    gradients to lanes and consumes the same precomputed EntryPrep."""
     return (
         _resolve_mode(settings, feat_shapes, batch_sharding) == "pallas"
-        and batch_sharding is None
         and not settings.fuse_update_levels
         and not settings.ray_loss
         and not settings.consistency_loss_on
@@ -882,6 +883,12 @@ def _train_chunk_impl(
             wsel = jnp.mod(start_iter + it, W)
             idx = batch_windows["idx"][wsel]
             batch = _gather_batch(pool, idx, s)
+            if batch_sharding is not None:
+                batch = {
+                    k: jax.lax.with_sharding_constraint(v, batch_sharding)
+                    for k, v in batch.items()
+                }
+                idx = jax.lax.with_sharding_constraint(idx, batch_sharding)
         else:
             wsel = None
             batch, idx = sample_batch(k_idx)
@@ -1022,6 +1029,11 @@ def _train_chunk_impl(
                     rows = jnp.concatenate([rows, fac["near_corners"][i].reshape(-1)])
                     g = jnp.concatenate([g, g_Gn[i].reshape(-1, 128)])
                 level_lr = lr * (s.lr_level_reduce_ratio ** i)
+                pre_i = None
+                if batch_windows is not None:
+                    pre_i = jax.tree_util.tree_map(
+                        lambda a: a[wsel], batch_windows["preps"][i]
+                    )
                 if batch_sharding is not None:
                     # multi-chip: the pallas custom-call cannot be GSPMD-
                     # partitioned, so the update runs REPLICATED inside a
@@ -1029,7 +1041,8 @@ def _train_chunk_impl(
                     # gather at its boundary.  Narrowing the lane grads to
                     # (M, D) first shrinks the cross-chip payload 16x
                     # (~2.3 MB/level at bs 8192 over ICI); the wrapper's
-                    # lane spread reconstructs the same g128 bit-exactly.
+                    # (or, with windows, the in-island) lane spread
+                    # reconstructs the same g128 bit-exactly.
                     g = adam_kernel.lanes_to_narrow(g, D_i)
                     P = jax.sharding.PartitionSpec
 
@@ -1043,21 +1056,36 @@ def _train_chunk_impl(
                             grads_bf16=bf16_update,
                         )
 
+                    def upd_win(p_, m_, v_, rows_, g_, lr_, bc1_, bc2_,
+                                pre_, C_i=C_i, D_i=D_i, i=i):
+                        # re-spread narrow -> lane-aligned (bit-exact
+                        # inverse of lanes_to_narrow: one nonzero slot per
+                        # entry) so the precomputed lanes EntryPrep applies
+                        PACK = 128 // D_i
+                        lane = jnp.arange(128, dtype=jnp.int32)
+                        mask = (lane[None, :] // D_i) == (
+                            rows_ % PACK)[:, None].astype(jnp.int32)
+                        g128_ = jnp.where(mask, jnp.tile(g_, (1, PACK)), 0.0)
+                        return adam_kernel.fused_adam_packed(
+                            p_, m_, v_, rows_, g128_, lr_, bc1_, bc2_,
+                            C_i, D_i, eps=s.adam_eps,
+                            use_pallas=use_pallas_kernel, lanes=True,
+                            n_used=s.n_used[i] if s.n_used else None,
+                            grads_bf16=bf16_update, pre=pre_,
+                        )
+
+                    island = upd_win if pre_i is not None else upd
+                    extra = (pre_i,) if pre_i is not None else ()
                     f_n, m_n, v_n = jax.shard_map(
-                        upd, mesh=batch_sharding.mesh,
+                        island, mesh=batch_sharding.mesh,
                         in_specs=P(), out_specs=P(), check_vma=False,
                     )(
                         params["features"][i],
                         opt_state.m["features"][i],
                         opt_state.v["features"][i],
-                        rows, g, level_lr, bc1, bc2,
+                        rows, g, level_lr, bc1, bc2, *extra,
                     )
                 else:
-                    pre_i = None
-                    if batch_windows is not None:
-                        pre_i = jax.tree_util.tree_map(
-                            lambda a: a[wsel], batch_windows["preps"][i]
-                        )
                     f_n, m_n, v_n = adam_kernel.fused_adam_packed(
                         params["features"][i],
                         opt_state.m["features"][i],

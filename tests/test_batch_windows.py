@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from shine_mapping_tpu.ops import adam_kernel
 from shine_mapping_tpu.train import trainer
+from shine_mapping_tpu.train.optimizer import init_opt_state
 
 from tests.test_trainer import build, default_cfg, make_sphere_pool
 
@@ -219,6 +220,61 @@ def test_train_chunk_windows_chunk_split_consistency():
     p_split, _ = run([2, 4])
     for a, b in zip(p_once["features"], p_split["features"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_windows_sharded_matches_single_device():
+    """Epoch-window mode under data parallelism: the sharded update island
+    re-spreads the narrow entry gradients to lanes and consumes the same
+    precomputed EntryPrep — an 8-device run must match single-device
+    (same windows => same batches; only float reduction order differs)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    pool, surf = make_sphere_pool(1500, seed=31)
+    cfg = default_cfg(bs=256)
+    grid, settings, params, opt_state, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="pallas"
+    )
+    feat_shapes = tuple(tuple(f.shape) for f in params["features"])
+    tables = tuple(grid.tables)
+    caps = tuple(f.shape[0] for f in params["features"])
+    pre = trainer.precompute_pool_lookups(
+        tables, dev_pool["coord"], tuple(grid.levels), caps
+    )
+    win = trainer.precompute_batch_windows(
+        pre, int(n_valid), jax.random.PRNGKey(1), settings, feat_shapes
+    )
+    key = jax.random.PRNGKey(2)
+    shadow = trainer.empty_shadow(params["features"])
+
+    def copy(p):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
+
+    p1, _, aux1 = trainer.train_chunk(
+        copy(params), init_opt_state(params), tables, dev_pool, shadow,
+        n_valid, jnp.int32(0), key, settings, 5,
+        pre_lookups=pre, batch_windows=win,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    put = lambda x: jax.device_put(x, repl)
+    p8, _, aux8 = trainer.train_chunk(
+        put(copy(params)), put(init_opt_state(params)), put(tables),
+        put(dev_pool), put(shadow), put(n_valid), jnp.int32(0), key,
+        settings, 5,
+        pre_lookups=put(pre), batch_windows=put(win),
+        batch_sharding=batch_sh,
+    )
+    np.testing.assert_allclose(
+        float(aux1["mean"]["total_loss"]), float(aux8["mean"]["total_loss"]),
+        rtol=1e-4,
+    )
+    for a, b in zip(p1["features"], p8["features"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+        )
 
 
 def test_train_chunk_windows_gate():
