@@ -25,7 +25,7 @@ from ..train.optimizer import init_opt_state
 from ..utils import checkpoint as ckpt
 from ..utils.experiment import setup_experiment, get_time
 from ..utils.metrics_logger import MetricsLogger
-from ..utils.profiling import PhaseTimer
+from ..utils.profiling import PhaseTimer, device_trace
 from ..visualizer import MapVisualizer
 from .common import (
     build_grid,
@@ -207,6 +207,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     batch_windows = make_windows(pre_lookups)
     t_train0 = time.time()
     done_iters = start_iter
+    profiled = False
     for start, n in event_boundaries(
         cfg.iters, (cfg.save_freq_iters, cfg.vis_freq_iters), cfg.scan_chunk
     ):
@@ -226,8 +227,16 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         # chunk key depends only on the chunk's start iteration, so a
         # resumed run draws the same batches an uninterrupted run would
         k = jax.random.fold_in(key, start)
+        # optional deep-dive: jax.profiler trace of ONE steady-state chunk
+        # (the second — the first includes compilation)
+        trace_this = (
+            cfg.profile_dir and primary and not profiled
+            and start > start_iter
+        )
         t0 = get_time()
-        with timer.phase("train"):
+        with timer.phase("train"), device_trace(
+            cfg.profile_dir if trace_this else None
+        ):
             params, opt_state, aux = trainer.train_chunk(
                 params, opt_state, tables, dev_pool, shadow,
                 n_valid, jnp.int32(start), k, settings, n,
@@ -236,6 +245,9 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
                 batch_windows=batch_windows,
             )
             t1 = get_time(aux["mean"]["total_loss"])
+        if trace_this:
+            profiled = True
+            print(f"profiler trace written to {cfg.profile_dir}")
         iters_since_rotate += n
         done_iters = start + n
         rec = {("loss/" + k2): float(v) for k2, v in aux["mean"].items()}

@@ -238,6 +238,9 @@ class SHINEConfig:
     # precompute_lookups.  Data-parallel runs supported (the sharded
     # update island consumes the same precomputed prep).
     batch_windows: bool = False
+    # write a jax.profiler device trace of one steady-state training chunk
+    # to this directory (view with tensorboard / xprof); empty = off
+    profile_dir: str = ""
     # pool capacity in samples (static shape; doubled on overflow)
     init_pool_capacity: int = 1 << 20
     # device-pool budget: when the host pool exceeds this many samples, a
@@ -355,6 +358,7 @@ class SHINEConfig:
         self.precompute_lookups = opt(
             "tpu", "precompute_lookups", self.precompute_lookups)
         self.batch_windows = opt("tpu", "batch_windows", self.batch_windows)
+        self.profile_dir = opt("tpu", "profile_dir", self.profile_dir)
         self.coordinator = opt("tpu", "coordinator", self.coordinator)
         self.num_processes = opt("tpu", "num_processes", self.num_processes)
         self.process_id = opt("tpu", "process_id", self.process_id)

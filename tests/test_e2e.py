@@ -127,6 +127,22 @@ def test_batch_driver_epoch_windows_end_to_end(synth_root, tmp_path, capsys):
     assert m["F-score (%)"] > 75.0, m
 
 
+def test_batch_driver_profile_trace(synth_root, tmp_path):
+    """tpu.profile_dir captures a jax.profiler trace of one steady-state
+    training chunk."""
+    from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.iters = 200
+    cfg.profile_dir = str(tmp_path / "trace")
+    run_shine_mapping_batch(cfg=cfg)
+    import glob
+
+    files = glob.glob(cfg.profile_dir + "/**/*", recursive=True)
+    assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
+               for f in files), files
+
+
 def test_batch_driver_time_conditioned_meshing(synth_root, tmp_path):
     """Time-conditioned runs mesh once per EVEN timestamp at each vis
     event (reference shine_batch.py:248-264)."""
