@@ -180,7 +180,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     )
     if cfg.batch_windows and not use_windows:
         print("tpu.batch_windows requested but prerequisites unmet "
-              "(needs single-chip pallas, point loss, no consistency, "
+              "(needs the pallas update, point loss, no consistency, "
               "precompute_lookups) — falling back to iid batches")
 
     def make_pre():
@@ -228,10 +228,11 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         # resumed run draws the same batches an uninterrupted run would
         k = jax.random.fold_in(key, start)
         # optional deep-dive: jax.profiler trace of ONE steady-state chunk
-        # (the second — the first includes compilation)
-        trace_this = (
+        # (the second — the first includes compilation; a single-chunk run
+        # traces its only chunk, compile included)
+        trace_this = bool(
             cfg.profile_dir and primary and not profiled
-            and start > start_iter
+            and (start > start_iter or start + n >= cfg.iters)
         )
         t0 = get_time()
         with timer.phase("train"), device_trace(

@@ -485,6 +485,18 @@ def lanefold(lanerows: jnp.ndarray, slots: jnp.ndarray, w: jnp.ndarray,
     return f128.reshape(-1, PACK, D).sum(axis=1)
 
 
+def narrow_to_lanes(g: jnp.ndarray, rows: jnp.ndarray, D: int) -> jnp.ndarray:
+    """(M, D) narrow gradients -> (M, 128) lane-aligned rows: each entry's
+    D values land in its packed-row slot's lanes, zeros elsewhere.  The
+    bit-exact inverse of :func:`lanes_to_narrow` (lanefold-backward rows
+    have exactly one nonzero slot).  Shared by the kernel wrapper's
+    lanes=False path and the sharded epoch-window island."""
+    PACK = 128 // D
+    lane = jnp.arange(128, dtype=jnp.int32)
+    mask = (lane[None, :] // D) == (rows % PACK)[:, None].astype(jnp.int32)
+    return jnp.where(mask, jnp.tile(g, (1, PACK)), 0.0)
+
+
 def lanes_to_narrow(g128: jnp.ndarray, D: int) -> jnp.ndarray:
     """(..., 128) lane-aligned gradients (lanefold backward) -> (..., D).
 
@@ -696,11 +708,7 @@ def fused_adam_packed(
         rows_s = rows.at[order].get(**hints)
         grads_s = grads.at[order].get(**hints)
         prow = (rows_s // PACK).astype(jnp.int32)
-
-        lane = jnp.arange(128, dtype=jnp.int32)
-        g_rep = jnp.tile(grads_s, (1, PACK))  # g_rep[k, l] = grads[k, l % D]
-        mask = (lane[None, :] // D) == (rows_s % PACK)[:, None].astype(jnp.int32)
-        g128 = jnp.where(mask, g_rep, 0.0)
+        g128 = narrow_to_lanes(grads_s, rows_s, D)
 
         Mpad = ((M + w - 1) // w) * w + w
         prow_p = jnp.full((1, Mpad), -1, jnp.int32).at[0, :M].set(prow)

@@ -601,8 +601,8 @@ def train_chunk(
     SAMPLING-SEMANTICS DELTA vs the reference: epoch-style
     without-replacement windows of one fixed shuffle instead of iid
     batches (the loss/optimizer math per batch is unchanged).  Requires
-    the single-chip pallas path, point-mode loss, no consistency term,
-    and ``pre_lookups``.
+    the pallas update path (single-chip or data-parallel), point-mode
+    loss, no consistency term, and ``pre_lookups``.
     """
     feat_shapes = tuple(tuple(f.shape) for f in params["features"])
     mode = _resolve_mode(settings, feat_shapes, batch_sharding)
@@ -611,9 +611,9 @@ def train_chunk(
         and pre_lookups is not None
     ):
         raise ValueError(
-            "batch_windows requires the single-chip pallas update "
-            "(feature_update: pallas, no fuse_update_levels), point-mode "
-            f"loss without consistency, and pre_lookups (mode: {mode})"
+            "batch_windows requires the pallas update (feature_update: "
+            "pallas, no fuse_update_levels), point-mode loss without "
+            f"consistency, and pre_lookups (mode: {mode})"
         )
     if opt_state.m["features"][0].dtype == jnp.bfloat16 and mode != "pallas":
         # only the pallas update (and its fallbacks) preserves the bf16
@@ -1061,11 +1061,7 @@ def _train_chunk_impl(
                         # re-spread narrow -> lane-aligned (bit-exact
                         # inverse of lanes_to_narrow: one nonzero slot per
                         # entry) so the precomputed lanes EntryPrep applies
-                        PACK = 128 // D_i
-                        lane = jnp.arange(128, dtype=jnp.int32)
-                        mask = (lane[None, :] // D_i) == (
-                            rows_ % PACK)[:, None].astype(jnp.int32)
-                        g128_ = jnp.where(mask, jnp.tile(g_, (1, PACK)), 0.0)
+                        g128_ = adam_kernel.narrow_to_lanes(g_, rows_, D_i)
                         return adam_kernel.fused_adam_packed(
                             p_, m_, v_, rows_, g128_, lr_, bc1_, bc2_,
                             C_i, D_i, eps=s.adam_eps,

@@ -7,7 +7,11 @@ vars first (before jax import), then the config update.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE the env var (not setdefault): the axon image exports
+# JAX_PLATFORMS=axon, and cli/common.py re-applies the env var in-process —
+# a leftover "axon" would flip tests onto the TPU tunnel (and hang forever
+# when it is down) the moment a driver module runs before any CPU op
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -134,13 +134,13 @@ def test_batch_driver_profile_trace(synth_root, tmp_path):
 
     cfg = small_cfg(synth_root, str(tmp_path))
     cfg.iters = 200
-    cfg.profile_dir = str(tmp_path / "trace")
+    cfg.profile_dir = str(tmp_path / "profout")
     run_shine_mapping_batch(cfg=cfg)
     import glob
 
-    files = glob.glob(cfg.profile_dir + "/**/*", recursive=True)
-    assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
-               for f in files), files
+    files = [f for f in glob.glob(cfg.profile_dir + "/**/*", recursive=True)
+             if os.path.isfile(f)]
+    assert any(f.endswith(".pb") or f.endswith(".json.gz") for f in files), files
 
 
 def test_batch_driver_time_conditioned_meshing(synth_root, tmp_path):
