@@ -32,28 +32,33 @@ import numpy as np
 REF_BASELINE_POINTS_PER_S = 139863.0
 
 
-def build_bench_world():
+def build_bench_world(tiny: bool = False):
     """The benchmark's ICRA'23 MaiCity-batch shaped problem
     (config_icra2023/maicity_batch.yaml shapes: bs 8192, 3 featured levels,
     feature dim 8, 12 world levels; ~3M corners/level after growth).
     Shared with experiments that A/B against this exact world
     (experiments/exp_batch_windows.py).  Returns (cfg, grid, pool, n_pool).
+
+    ``tiny``: a shrunken variant (SHINE_BENCH_TINY=1) so every mode branch
+    of the bench itself can be smoke-run on CPU in ~a minute — a crashing
+    bench on the chip would otherwise be the first time a new mode's
+    bench plumbing ever executes.
     """
     from shine_mapping_tpu.config import SHINEConfig
     from shine_mapping_tpu.data.dataset import SamplePool
     from shine_mapping_tpu.ops.hashgrid import HashGridHost
 
     cfg = SHINEConfig()
-    cfg.tree_level_world = 12
+    cfg.tree_level_world = 8 if tiny else 12
     cfg.tree_level_feat = 3
     cfg.leaf_vox_size = 0.2
-    cfg.bs = 8192
+    cfg.bs = 1024 if tiny else 8192
     cfg.lr = 0.01
     cfg.derive()
 
     rng = np.random.default_rng(0)
     # map occupancy similar to a MaiCity run: ~1M leaf-level corners
-    n_surf = 400_000
+    n_surf = 20_000 if tiny else 400_000
     # surface = rolling terrain patch through the [-1,1] cube
     xy = rng.uniform(-0.9, 0.9, (n_surf, 2))
     z = 0.08 * np.sin(4 * xy[:, 0]) * np.cos(3 * xy[:, 1])
@@ -66,12 +71,12 @@ def build_bench_world():
         feature_dim=cfg.feature_dim,
         feature_std=cfg.feature_std,
         seed=0,
-        init_node_capacity=1 << 19,
-        init_corner_capacity=1 << 19,
+        init_node_capacity=1 << (13 if tiny else 19),
+        init_corner_capacity=1 << (13 if tiny else 19),
     )
     grid.update(band)
 
-    n_pool = 2_000_000
+    n_pool = 40_000 if tiny else 2_000_000
     coord = np.repeat(band, 5, axis=0)[:n_pool].astype(np.float32)
     coord += rng.normal(0, 0.01, coord.shape).astype(np.float32)
     sdf = rng.normal(0, 0.01, n_pool).astype(np.float32)
@@ -103,12 +108,15 @@ def main() -> None:
     from shine_mapping_tpu.train import trainer
     from shine_mapping_tpu.train.optimizer import init_opt_state
 
-    cfg, grid, pool, n_pool = build_bench_world()
-
+    import os
     import sys
 
+    tiny = os.environ.get("SHINE_BENCH_TINY", "0") == "1"
+    cfg, grid, pool, n_pool = build_bench_world(tiny=tiny)
+
     dev_pool, n_valid = trainer.pool_to_device(
-        pool, 1 << 21, trainer.TrainSettings.from_config(cfg, grid.levels)
+        pool, 1 << (16 if tiny else 21),
+        trainer.TrainSettings.from_config(cfg, grid.levels),
     )
     tables = tuple(grid.tables)
 
@@ -118,7 +126,7 @@ def main() -> None:
     # is discarded; the median of the remaining chunks is taken.  Both the
     # sparse (lazy touched-rows Adam) and dense (reference-exact full-table
     # Adam) optimizer paths are measured; the better one is reported.
-    n_iters = 300
+    n_iters = 20 if tiny else 300
 
     # run-level lookup precompute, exactly as the batch driver does it: the
     # structure is frozen for the whole run, so corner resolution is paid
@@ -191,8 +199,6 @@ def main() -> None:
     # XLA) vs sparse (lazy Adam): the best wins — pallas on-chip at this map
     # size, sparse for giant maps.  SHINE_BENCH_MODES=pallas,... restricts
     # the sweep (dev loop only; the driver-run default measures all three).
-    import os
-
     modes = os.environ.get("SHINE_BENCH_MODES",
                            "pallas,pallas_bf16m,pallas_bf16m_win,fused,sparse")
     chunk_t = min(run_variant(m) for m in modes.split(","))
