@@ -176,7 +176,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     use_windows = (
         cfg.batch_windows
         and cfg.precompute_lookups
-        and trainer.batch_windows_ok(settings, feat_shapes, batch_sharding)
+        and trainer.batch_windows_ok(settings, feat_shapes)
     )
     if cfg.batch_windows and not use_windows:
         print("tpu.batch_windows requested but prerequisites unmet "

@@ -155,8 +155,7 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
                 and cfg.iters * cfg.bs >= PRECOMPUTE_WORK_RATIO * capacity
                 # sparse/dense chunks ignore pre_lookups — don't pay a
                 # full-pool sweep per frame the trainer would discard
-                and trainer.resolve_feature_update(
-                    settings, feat_shapes, batch_sharding)
+                and trainer.resolve_feature_update(settings, feat_shapes)
                 in ("fused", "pallas")):
             pre_lookups = trainer.precompute_pool_lookups(
                 tables, dev_pool["coord"], tuple(grid.levels),

@@ -241,11 +241,11 @@ def choose_tiles_multi(Rs: Sequence[int], M: int) -> Tuple[int, int]:
 
 def _xla_update_lanes_lr(p128, m128, v128, rows, g128, lr, bc1, bc2,
                          D: int, b1: float, b2: float, eps: float):
-    gd = jnp.zeros_like(p128).at[rows // (128 // D)].add(g128)
-    m = b1 * m128.astype(jnp.float32) + (1.0 - b1) * gd
-    v = b2 * v128.astype(jnp.float32) + (1.0 - b2) * gd * gd
-    p = p128 - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-    return p, m.astype(m128.dtype), v.astype(v128.dtype)
+    """Per-level-lr twin used by the multi-level fallback — one
+    implementation with :func:`_xla_update_lanes` (the lax.cond branches'
+    semantic alignment depends on them staying bit-identical)."""
+    return _xla_update_lanes(p128, m128, v128, rows, g128, lr, bc1, bc2,
+                             0, D, b1, b2, eps)
 
 
 def fused_adam_packed_multi(

@@ -320,6 +320,16 @@ class HashGridHost:
     ):
         if featured_level_num < 1:
             raise ValueError("No level with grid features!")
+        if max_level > 15:
+            # corner coordinates reach 2**level; _pack64's 16-bit y/z
+            # fields alias (x, y, 65536) with (x, y+1, 0) at level 16 —
+            # refuse rather than silently corrupt geometry.  (Reference
+            # configs use <= 12; a wider packing would also change
+            # persisted checkpoint keys.)
+            raise ValueError(
+                f"max_level {max_level} > 15: corner keys would overflow "
+                "the packed 16-bit coordinate fields"
+            )
         self.max_level = max_level
         self.featured_level_num = featured_level_num
         self.free_level_num = max_level - featured_level_num + 1
@@ -491,7 +501,11 @@ class HashGridHost:
                 * self.rng.standard_normal((n_new_corners, self.feature_dim))
             ).astype(np.float32)
             rows_j, init_j = _pad_pow2(new_rows, init)
-            self.features[li] = _scatter_set(self.features[li], rows_j, init_j)
+            if rows_j is not None:
+                # n_new_corners can be 0 with new NODES: a frame can fill a
+                # "hole" voxel whose 8 corners were all allocated by its
+                # neighbors — the node mappings above still record it
+                self.features[li] = _scatter_set(self.features[li], rows_j, init_j)
             if incremental_on:
                 # importance rows start at zero (already zero); refresh snapshot
                 self.features_last_frame[li] = self.features[li]
@@ -511,8 +525,8 @@ class HashGridHost:
         # (and its old buffer may have been donated to a train step), so
         # re-alias instead of padding the stale array
         self.features_last_frame[li] = self.features[li]
-        # miss rows in the hash table must point at the new trashbin row
-        hl.corner_idx[hl.corner_idx >= hl.n_corners] = C - 1
+        # _rebuild_table() reinitializes corner_idx from node data with the
+        # NEW capacity's trashbin default, repointing miss slots itself
         hl._rebuild_table()
         self.tables[li] = LevelTable(
             keys=_interleave_keys(hl.key_a, hl.key_b),

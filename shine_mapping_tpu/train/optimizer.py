@@ -156,10 +156,19 @@ def make_group_trees(params: Any, level_lr_ratio: float, weight_decay: float):
             lr_scale[k] = const_tree(v, 1.0)
             wd[k] = const_tree(v, weight_decay)
         elif k == "features":
-            lr_scale[k] = tuple(
-                const_tree(f, float(level_lr_ratio ** i)) for i, f in enumerate(v)
-            )
-            wd[k] = tuple(const_tree(f, 0.0) for f in v)
+            if isinstance(v, (tuple, list)):
+                lr_scale[k] = tuple(
+                    const_tree(f, float(level_lr_ratio ** i))
+                    for i, f in enumerate(v)
+                )
+                wd[k] = tuple(const_tree(f, 0.0) for f in v)
+            else:
+                # packed single-array layout (pallas fuse_update_levels):
+                # the feature update bypasses adam_update, so these entries
+                # are unused — and enumerate() over a jnp array would unroll
+                # one traced slice PER PACKED ROW at trace time
+                lr_scale[k] = const_tree(v, 1.0)
+                wd[k] = const_tree(v, 0.0)
         else:  # sigma and anything else: base lr, no decay
             lr_scale[k] = const_tree(v, 1.0)
             wd[k] = const_tree(v, 0.0)

@@ -157,16 +157,14 @@ class TrainSettings:
         return cls(**kw)
 
 
-def resolve_feature_update(settings: "TrainSettings", feat_shapes,
-                           batch_sharding=None) -> str:
+def resolve_feature_update(settings: "TrainSettings", feat_shapes) -> str:
     """The feature-update implementation train_chunk will actually use
     (public twin of _resolve_mode — drivers gate tpu.moments_bf16 on it:
     bf16 moments are only legal when the resolved mode is 'pallas')."""
-    return _resolve_mode(settings, feat_shapes, batch_sharding)
+    return _resolve_mode(settings, feat_shapes)
 
 
-def batch_windows_ok(settings: "TrainSettings", feat_shapes,
-                     batch_sharding=None) -> bool:
+def batch_windows_ok(settings: "TrainSettings", feat_shapes) -> bool:
     """Is epoch-window sampling (tpu.batch_windows) usable here?  The ONE
     predicate both the driver's soft gate (fall back to iid with a
     message) and train_chunk's hard gate (ValueError) share — keep them
@@ -175,7 +173,7 @@ def batch_windows_ok(settings: "TrainSettings", feat_shapes,
     are supported: the sharded update island re-spreads the narrow entry
     gradients to lanes and consumes the same precomputed EntryPrep."""
     return (
-        _resolve_mode(settings, feat_shapes, batch_sharding) == "pallas"
+        _resolve_mode(settings, feat_shapes) == "pallas"
         and not settings.fuse_update_levels
         and not settings.ray_loss
         and not settings.consistency_loss_on
@@ -222,6 +220,16 @@ def _forward_sdf(params, tables, coords, ts, s: TrainSettings):
     feat, corners, found = query_feature_with_aux(
         coords, tables, list(params["features"]), s.levels, s.poly_int_on
     )
+    # misses probe an arbitrary slot: its corner rows may belong to a REAL
+    # node (hashgrid.lookup_level returns slot 0 of the window when nothing
+    # hits).  The interpolation masks their weights, but consumers that key
+    # off row IDENTITY (the continual-reg touched mask, sparse segments)
+    # must see the trashbin row — the reference's miss convention
+    # (model/feature_octree.py:209-215, index -1)
+    corners = [
+        jnp.where(found[i][:, None], c, params["features"][i].shape[0] - 1)
+        for i, c in enumerate(corners)
+    ]
     if s.time_conditioned:
         pred = decoder.time_conditioned_sdf(params["geo"], feat, ts)
     else:
@@ -508,7 +516,7 @@ def _gather_batch(pool, idx, s: TrainSettings):
     return batch
 
 
-def _resolve_mode(settings: TrainSettings, feat_shapes, batch_sharding) -> str:
+def _resolve_mode(settings: TrainSettings, feat_shapes) -> str:
     """Pick the feature-update implementation for this configuration."""
     s = settings
     mode = s.feature_update if s.opt_adam else "dense"
@@ -605,9 +613,9 @@ def train_chunk(
     loss, no consistency term, and ``pre_lookups``.
     """
     feat_shapes = tuple(tuple(f.shape) for f in params["features"])
-    mode = _resolve_mode(settings, feat_shapes, batch_sharding)
+    mode = _resolve_mode(settings, feat_shapes)
     if batch_windows is not None and not (
-        batch_windows_ok(settings, feat_shapes, batch_sharding)
+        batch_windows_ok(settings, feat_shapes)
         and pre_lookups is not None
     ):
         raise ValueError(
@@ -801,6 +809,10 @@ def _train_chunk_impl(
         G_list = []
         for i, level in enumerate(s.levels):
             c_i, f_i = lookup_level(tables[i], coords, level)
+            # misses -> trashbin row (see _forward_sdf): the sparse
+            # segments and reg must not touch the arbitrary slot a missed
+            # probe lands on
+            c_i = jnp.where(f_i[:, None], c_i, feat_shapes[i][0] - 1)
             corners.append(c_i)
             found.append(f_i)
             G_list.append(params["features"][i][c_i][..., :D])
@@ -919,6 +931,10 @@ def _train_chunk_impl(
             corners, found, G = [], [], []
             for i, level in enumerate(s.levels):
                 c_i, f_i = lookup_level(tables[i], c, level)
+                # misses -> trashbin row (see _forward_sdf); also matches
+                # the precompute_pool_lookups convention so the pre path
+                # and live probes produce identical rows
+                c_i = jnp.where(f_i[:, None], c_i, feat_shapes[i][0] - 1)
                 corners.append(c_i)
                 found.append(f_i)
                 G.append(gather_rows(i, c_i))
@@ -1190,6 +1206,15 @@ def precompute_pool_lookups(tables, pool_coord, levels, capacities):
     """
     npool = pool_coord.shape[0]
     CH = min(65536, npool)
+    # the chunked map needs npool % CH == 0; pad with zeros (the padded
+    # rows' lookups are discarded below) — capacities are user-settable
+    # and need not be multiples of 2^16
+    pad = (-npool) % CH
+    coords_p = (
+        jnp.concatenate(
+            [pool_coord, jnp.zeros((pad, 3), pool_coord.dtype)]
+        ) if pad else pool_coord
+    )
 
     def level_pre(i, level):
         C_i = capacities[i]
@@ -1198,9 +1223,9 @@ def precompute_pool_lookups(tables, pool_coord, levels, capacities):
             corners, fnd = lookup_level(tables[i], c, level)
             return jnp.where(fnd[:, None], corners, C_i - 1), fnd
 
-        cs = pool_coord.reshape(-1, CH, 3)
+        cs = coords_p.reshape(-1, CH, 3)
         corners, fnd = jax.lax.map(f, cs)
-        return corners.reshape(-1, 8), fnd.reshape(-1)
+        return corners.reshape(-1, 8)[:npool], fnd.reshape(-1)[:npool]
 
     return tuple(level_pre(i, lvl) for i, lvl in enumerate(levels))
 

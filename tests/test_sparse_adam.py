@@ -73,10 +73,12 @@ def test_sparse_vs_dense_training_equivalent_losses():
         rtol=1e-3,
     )
     # decoder params follow the same trajectory (small drift from lazy
-    # momentum on rows untouched between steps)
+    # momentum on rows untouched between steps; misses now correctly touch
+    # NOTHING in the sparse path — the reference's trashbin convention —
+    # which defers a little more catch-up than before)
     for k in p_s["geo"]:
         np.testing.assert_allclose(
-            np.asarray(p_s["geo"][k]), np.asarray(p_d["geo"][k]), atol=1e-3
+            np.asarray(p_s["geo"][k]), np.asarray(p_d["geo"][k]), atol=2e-3
         )
     # feature rows: with Adam eps=1e-15 the first step is ~sign(g)*lr, so
     # rows whose summed gradient is float-noise-level can legitimately flip
