@@ -27,10 +27,17 @@ from .sampler import SamplerParams, sample_rays
 
 
 def natural_sort_key(name: str):
-    """natsort replacement: split digit runs so scan10 > scan9."""
+    """natsort replacement: split digit runs so scan10 > scan9.
+
+    Tokens are homogeneous (kind, value) tuples — mixed int/str lists
+    raise TypeError when names diverge at a digit/non-digit boundary
+    ('scan.bin' vs 'scan1.bin' would compare 1 < '.bin')."""
     import re
 
-    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
+    return [
+        (0, int(t)) if t.isdigit() else (1, t)
+        for t in re.split(r"(\d+)", name)
+    ]
 
 
 @dataclass
@@ -217,10 +224,22 @@ class LiDARDataset:
         import concurrent.futures as cf
 
         total = 0
+        frame_ids = list(frame_ids)
+        # bounded lookahead: submitting everything up front lets workers
+        # race thousands of frames ahead of the sequential consumer, pinning
+        # every completed frame's sampled arrays (tens of MB each) in RAM
+        window = 2 * max(1, workers)
         with cf.ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
-            futures = {f: ex.submit(self.load_and_sample, f) for f in frame_ids}
-            for f in frame_ids:
-                total += self._integrate_frame(futures[f].result(), incremental_on)
+            futures = {}
+            next_i = 0
+            for i, f in enumerate(frame_ids):
+                while next_i < len(frame_ids) and next_i < i + window:
+                    nf = frame_ids[next_i]
+                    futures[nf] = ex.submit(self.load_and_sample, nf)
+                    next_i += 1
+                total += self._integrate_frame(
+                    futures.pop(f).result(), incremental_on
+                )
         return total
 
     def _integrate_frame(self, prep: dict, incremental_on: bool) -> int:
@@ -257,94 +276,12 @@ class LiDARDataset:
         """Preprocess one frame, sample rays, grow the grid, update the pool.
 
         Mirrors dataset/lidar_dataset.py:115-281.  Returns the number of new
-        samples.
+        samples.  ONE implementation with the pipelined path: this is
+        load_and_sample (on the dataset's shared rng stream, preserving
+        sequential-mode determinism) followed by _integrate_frame.
         """
-        cfg = self.config
-        self.cur_pose_ref = self.poses_ref[frame_id]
-
-        pc, sem_labels = self.read_frame(frame_id)
-
-        # crop to the local block (dataset/lidar_dataset.py:138-142)
-        bbx_min = np.array([-cfg.pc_radius, -cfg.pc_radius, cfg.min_z])
-        bbx_max = np.array([cfg.pc_radius, cfg.pc_radius, cfg.max_z])
-        if sem_labels is not None:
-            p = pc.points
-            mask = np.all((p >= bbx_min) & (p <= bbx_max), axis=1)
-            pc = pc.select(mask)
-            sem_labels = sem_labels[mask]
-        else:
-            pc = preprocess.crop_bbx(pc, bbx_min, bbx_max)
-
-        if cfg.estimate_normal:
-            pc = preprocess.estimate_normals(
-                pc, cfg.normal_radius_m, cfg.normal_max_nn,
-                orient_towards=np.zeros(3),
-            )
-
-        # downsample (dataset/lidar_dataset.py:152-158)
-        if cfg.rand_downsample:
-            n_before = len(pc)
-            k = int(round(n_before * cfg.rand_down_r))
-            idx = np.sort(self.rng.choice(n_before, size=min(k, n_before), replace=False))
-            pc = pc.select(idx)
-            if sem_labels is not None:
-                sem_labels = sem_labels[idx]
-        else:
-            if sem_labels is not None and len(pc) > 0:
-                # voxel downsample with label-carrying: keep first point per voxel
-                vmin = pc.points.min(axis=0)
-                keys = np.floor((pc.points - vmin) / cfg.vox_down_m).astype(np.int64)
-                packed = (keys[:, 0] << 42) | (keys[:, 1] << 21) | keys[:, 2]
-                _, first = np.unique(packed, return_index=True)
-                pc = pc.select(np.sort(first))
-                sem_labels = sem_labels[np.sort(first)]
-            else:
-                pc = preprocess.voxel_downsample(pc, cfg.vox_down_m)
-
-        if cfg.filter_noise:
-            pc = preprocess.statistical_outlier_removal(pc, cfg.sor_nn, cfg.sor_std)
-
-        # sensor origin in scaled reference frame (dataset/lidar_dataset.py:175)
-        frame_origin = self.cur_pose_ref[:3, 3] * cfg.scale
-
-        # to reference frame, maintain map pc + bbx (dataset/lidar_dataset.py:179-187)
-        pc_ref = pc.transform(self.cur_pose_ref)
-        frame_down = preprocess.voxel_downsample(pc_ref, cfg.map_vox_down_m)
-        self.map_down_pc = self.map_down_pc.concat(frame_down)
-        self.cur_frame_pc = frame_down
-        if len(self.map_down_pc) > 0:
-            self.map_bbx = (
-                self.map_down_pc.points.min(axis=0),
-                self.map_down_pc.points.max(axis=0),
-            )
-        if len(frame_down) > 0:
-            self.cur_bbx = (frame_down.points.min(axis=0), frame_down.points.max(axis=0))
-
-        # scale into [-1,1] (dataset/lidar_dataset.py:186-191)
-        points_s = (pc_ref.points * cfg.scale).astype(np.float64)
-        normals = pc_ref.normals if cfg.estimate_normal else None
-
-        coord, sdf_label, normal_label, sem_label, weight, sample_depth, ray_depth = (
-            sample_rays(
-                points_s,
-                frame_origin,
-                self.sampler_params,
-                self.rng,
-                normals=normals,
-                sem_labels=sem_labels,
-            )
-        )
-
-        # grow the feature grid (dataset/lidar_dataset.py:211-218)
-        if self.grid is not None:
-            if cfg.octree_from_surface_samples:
-                self.grid.update(coord[weight > 0, :], incremental_on)
-            else:
-                self.grid.update(points_s, incremental_on)
-
-        return self._append_pool(
-            frame_id, frame_origin, coord, sdf_label, normal_label,
-            sem_label, weight, sample_depth, ray_depth, incremental_on,
+        return self._integrate_frame(
+            self.load_and_sample(frame_id, rng=self.rng), incremental_on
         )
 
     def _append_pool(

@@ -189,7 +189,13 @@ class Mesher:
         from .parallel.mesh import batch_sharded, replicated
 
         repl = replicated(self.dp_mesh)
-        key = (self.grid.structure_version, tuple(id(f) for f in feats))
+        # version covers structure mutations (update() bumps it on every
+        # table write); object ids cover feature re-syncs from training
+        key = (
+            self.grid.structure_version,
+            tuple(id(t.keys) for t in tables),
+            tuple(id(f) for f in feats),
+        )
         if self._placed_key != key:
             self._placed = (
                 jax.device_put(tables, repl),
@@ -364,7 +370,14 @@ class Mesher:
     # ------------------------------------------------------------------ artifacts
     def generate_sdf_map(self, coord, sdf_pred, mc_mask, map_path: str):
         """Export the SDF as a point cloud with sdf in intensity
-        (utils/mesher.py:152-173)."""
+        (utils/mesher.py:152-173).  The reference tags each point with the
+        observation mask in a labels channel; this exporter instead DROPS
+        unobserved points (their SDF is trashbin garbage) so every exported
+        value is a real prediction."""
+        if mc_mask is not None:
+            keep = np.asarray(mc_mask, bool)
+            coord = coord[keep]
+            sdf_pred = sdf_pred[keep]
         coord_world = coord / self.world_scale
         sdf_world = (
             sdf_pred
@@ -405,7 +418,10 @@ class Mesher:
         adj = coo_matrix((np.ones(rows.size), (rows, cols)), shape=(nv, nv))
         _, labels = connected_components(adj, directed=False)
         tri_label = labels[tri[:, 0]]
-        counts = np.bincount(labels)
+        # threshold by TRIANGLE count per cluster, like the reference's
+        # cluster_n_triangles (utils/mesher.py:240-251) — vertex counts
+        # would delete valid patches with few vertices but many triangles
+        counts = np.bincount(tri_label, minlength=int(labels.max()) + 1)
         tri_counts = counts[tri_label]
         keep_tri = tri_counts >= filter_cluster_min_tri
         mesh.triangles = tri[keep_tri]
@@ -474,8 +490,15 @@ class Mesher:
         vox_per_node = int(np.ceil(node_res / self.world_scale / mc_res_m))
         mc_res_scaled = node_res / vox_per_node
 
-        side = ((max_nodes - min_nodes) / mc_res_scaled + vox_per_node).astype(int)
-        grid_sdf = np.zeros(tuple(side), dtype=np.float32)
+        # round like the paste offsets below: float truncation can size the
+        # grid one voxel short of the max node's block (e.g. extent/res =
+        # 224.99999999999997 -> 224 while the offset rounds to 225)
+        side = np.round(
+            (max_nodes - min_nodes) / mc_res_scaled
+        ).astype(int) + vox_per_node
+        # float16 like the reference (utils/mesher.py:321-324): this dense
+        # global grid is the peak host allocation of reconstruction
+        grid_sdf = np.zeros(tuple(side), dtype=np.float16)
         grid_mask = np.zeros(tuple(side), dtype=bool)
 
         # ONE dispatch covers ALL node blocks: node origins upload once and

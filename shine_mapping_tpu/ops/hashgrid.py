@@ -493,6 +493,9 @@ class HashGridHost:
                             keys=_scatter_set(t.keys, idx_j, kab_j),
                             corner_idx=_scatter_set(t.corner_idx, idx_j, ci_j),
                         )
+                        # every table mutation must be visible to version-
+                        # keyed caches (the mesher's dp_mesh replication)
+                        self.structure_version += 1
 
             # new feature rows: randn * feature_std (reference
             # model/feature_octree.py:139,153)

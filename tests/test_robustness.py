@@ -145,3 +145,55 @@ def test_make_group_trees_packed_features_layout():
 def test_max_level_16_rejected():
     with pytest.raises(ValueError, match="overflow"):
         _mk_grid(max_level=16, feat_levels=2)
+
+
+def test_natural_sort_key_mixed_boundary():
+    """Names diverging at a digit/non-digit boundary must not raise
+    (int-vs-str list comparison) and digits still order numerically."""
+    from shine_mapping_tpu.data.dataset import natural_sort_key
+
+    names = ["scan.bin", "scan1.bin", "scan10.bin", "scan9.bin", "a2", "a"]
+    out = sorted(names, key=natural_sort_key)  # must not raise
+    assert out.index("scan9.bin") < out.index("scan10.bin")
+    assert out.index("a") < out.index("a2")
+
+
+def test_pipelined_matches_sequential_pool():
+    """Bounded-window pipelined ingest integrates frames in order and
+    produces the same pool as worker-rng sequential processing."""
+    import os
+    from tests import synth
+    from shine_mapping_tpu.config import SHINEConfig
+    from shine_mapping_tpu.data.dataset import LiDARDataset
+
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="pipe_seq_")
+    synth.make_kitti_dataset(root, n_frames=5)
+    cfg = SHINEConfig()
+    cfg.name = "pipe"
+    cfg.output_root = root
+    cfg.pc_path = os.path.join(root, "velodyne")
+    cfg.pose_path = os.path.join(root, "poses.txt")
+    cfg.calib_path = os.path.join(root, "calib.txt")
+    cfg.begin_frame, cfg.end_frame, cfg.every_frame = 0, 5, 1
+    cfg.first_frame_ref = False
+    cfg.vox_down_m = 0.12
+    cfg.tree_level_world, cfg.tree_level_feat = 9, 2
+    cfg.leaf_vox_size = 0.5
+    cfg.derive()
+
+    def run(workers):
+        ds = LiDARDataset(cfg, None)
+        if workers > 1:
+            ds.process_frames_pipelined(ds.frame_ids(), workers)
+        else:
+            # per-frame rngs, like the pipelined path, for comparability
+            for fid in ds.frame_ids():
+                ds._integrate_frame(ds.load_and_sample(fid), False)
+        return ds.pool
+
+    p1 = run(1)
+    p3 = run(3)
+    np.testing.assert_array_equal(p1.coord, p3.coord)
+    np.testing.assert_array_equal(p1.weight, p3.weight)
