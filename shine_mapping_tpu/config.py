@@ -347,7 +347,29 @@ class SHINEConfig:
         self.save_map = args["eval"]["save_map"]
         self.mc_mask_on = opt("eval", "mc_mask_on", self.mc_mask_on)
 
-        # TPU-native extras (optional "tpu" section)
+        # data-phase workers (the reference declares this knob but never
+        # reads it from YAML or uses it, utils/config.py:31; here it drives
+        # process_frames_pipelined so it must be configurable)
+        self.num_workers = int(
+            opt("setting", "num_workers", self.num_workers))
+
+        # TPU-native extras (optional "tpu" section).  This section is
+        # entirely ours, so unknown keys are certainly typos — and a typoed
+        # perf knob (e.g. feature_updat) would silently bench the default.
+        known_tpu = {
+            "scan_chunk", "mesh_shape", "feature_update",
+            "fuse_update_levels", "moments_bf16", "sort_batch",
+            "precompute_lookups", "batch_windows", "profile_dir",
+            "coordinator", "num_processes", "process_id", "table_sharding",
+            "shard_ingest", "init_node_capacity", "init_corner_capacity",
+            "init_pool_capacity", "max_device_pool", "pool_rotate_iters",
+        }
+        unknown = set(args.get("tpu", {}) or {}) - known_tpu
+        if unknown:
+            raise ValueError(
+                f"unknown keys in the tpu config section: {sorted(unknown)} "
+                f"(known: {sorted(known_tpu)})"
+            )
         self.scan_chunk = opt("tpu", "scan_chunk", self.scan_chunk)
         self.mesh_shape = opt("tpu", "mesh_shape", self.mesh_shape)
         self.feature_update = opt("tpu", "feature_update", self.feature_update)
@@ -367,6 +389,8 @@ class SHINEConfig:
         self.init_node_capacity = opt("tpu", "init_node_capacity", self.init_node_capacity)
         self.init_corner_capacity = opt("tpu", "init_corner_capacity", self.init_corner_capacity)
         self.init_pool_capacity = opt("tpu", "init_pool_capacity", self.init_pool_capacity)
+        self.max_device_pool = opt("tpu", "max_device_pool", self.max_device_pool)
+        self.pool_rotate_iters = opt("tpu", "pool_rotate_iters", self.pool_rotate_iters)
 
         self.derive()
         return self

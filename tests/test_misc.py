@@ -22,6 +22,31 @@ def test_all_shipped_configs_load():
         assert cfg.infer_bs == cfg.bs * 16
 
 
+def test_tpu_section_typo_rejected_and_num_workers_wired(tmp_path):
+    """The tpu: section is first-party, so a typoed perf knob must fail
+    loudly instead of silently benching the default; num_workers drives
+    the pipelined data phase and must come through from YAML."""
+    import yaml
+
+    base = sorted(glob.glob(os.path.join(
+        os.path.dirname(__file__), "..", "config", "maicity", "*batch*.yaml")))[0]
+    args = yaml.safe_load(open(base))
+
+    args["setting"]["num_workers"] = 3
+    args["tpu"] = {"feature_update": "pallas"}
+    ok = tmp_path / "ok.yaml"
+    yaml.safe_dump(args, open(ok, "w"))
+    cfg = SHINEConfig().load(str(ok))
+    assert cfg.num_workers == 3
+    assert cfg.feature_update == "pallas"
+
+    args["tpu"] = {"feature_updat": "pallas"}
+    bad = tmp_path / "bad.yaml"
+    yaml.safe_dump(args, open(bad, "w"))
+    with pytest.raises(ValueError, match="feature_updat"):
+        SHINEConfig().load(str(bad))
+
+
 def test_world_scale_matches_reference_formula():
     cfg = SHINEConfig()
     cfg.leaf_vox_size = 0.2
