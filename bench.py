@@ -198,7 +198,7 @@ def main() -> None:
     # pallas (packed-table one-hot-matmul kernel) vs fused (explicit-scatter
     # XLA) vs sparse (lazy Adam): the best wins — pallas on-chip at this map
     # size, sparse for giant maps.  SHINE_BENCH_MODES=pallas,... restricts
-    # the sweep (dev loop only; the driver-run default measures all three).
+    # the sweep (set per-child by the orchestrator; also the dev loop knob).
     modes = os.environ.get("SHINE_BENCH_MODES",
                            "pallas,pallas_bf16m,pallas_bf16m_win,fused,sparse")
     chunk_t = min(run_variant(m) for m in modes.split(","))
@@ -216,5 +216,78 @@ def main() -> None:
     )
 
 
+# known-best order: if a later mode wedges the tunnel, the best candidates
+# have already banked their results
+ORCHESTRATED_MODES = (
+    "pallas_bf16m", "pallas_bf16m_win", "pallas", "fused", "sparse",
+)
+
+
+def orchestrate() -> None:
+    """Default entry: one timed subprocess per mode, report the best.
+
+    The axon tunnel can wedge indefinitely (a killed process can poison it
+    for the NEXT process too), and a single in-process mode sweep loses
+    EVERYTHING if any one mode hangs or crashes.  Each mode therefore runs
+    in its own subprocess under a hard timeout; completed results are
+    banked and the best one is printed even if later modes die.  Exactly
+    one process touches the TPU at a time (children run sequentially).
+    """
+    import os
+    import subprocess
+    import sys
+
+    tiny = os.environ.get("SHINE_BENCH_TINY", "0") == "1"
+    budget = float(os.environ.get(
+        "SHINE_BENCH_BUDGET_S", "600" if tiny else "3600"))
+    deadline = time.time() + budget
+    best = None
+    for i, mode in enumerate(ORCHESTRATED_MODES):
+        remaining = deadline - time.time()
+        if remaining < (30 if tiny else 120):
+            print(f"[bench] budget exhausted before {mode}; stopping",
+                  file=sys.stderr, flush=True)
+            break
+        # first child pays the cold remote compiles (10-60 s/executable)
+        per_mode = 120 if tiny else (1800 if i == 0 else 1200)
+        env = dict(os.environ,
+                   SHINE_BENCH_MODES=mode, SHINE_BENCH_SUBPROC="0")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
+                timeout=min(per_mode, remaining),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] mode {mode} timed out; skipping",
+                  file=sys.stderr, flush=True)
+            continue
+        if proc.returncode != 0:
+            print(f"[bench] mode {mode} exited {proc.returncode}; skipping",
+                  file=sys.stderr, flush=True)
+            continue
+        try:
+            rec = json.loads(proc.stdout.decode().strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            print(f"[bench] mode {mode} produced no JSON; skipping",
+                  file=sys.stderr, flush=True)
+            continue
+        rec["mode"] = mode
+        print(f"[bench] mode {mode}: {rec['value']} {rec['unit']}",
+              file=sys.stderr, flush=True)
+        if best is None or rec["value"] > best["value"]:
+            best = rec
+    if best is None:
+        print("[bench] no mode completed", file=sys.stderr, flush=True)
+        raise SystemExit(1)
+    print(json.dumps(best))
+
+
 if __name__ == "__main__":
-    main()
+    import os as _os
+
+    if (_os.environ.get("SHINE_BENCH_SUBPROC", "1") == "1"
+            and "SHINE_BENCH_MODES" not in _os.environ):
+        orchestrate()
+    else:
+        main()
