@@ -219,7 +219,7 @@ def main() -> None:
 # known-best order: if a later mode wedges the tunnel, the best candidates
 # have already banked their results
 ORCHESTRATED_MODES = (
-    "pallas_bf16m", "pallas_bf16m_win", "pallas", "fused", "sparse",
+    "pallas_bf16m_win", "pallas_bf16m", "pallas", "fused", "sparse",
 )
 
 
