@@ -146,9 +146,13 @@ def main() -> None:
         # stderr and excluded from ms/iter, like the lookup precompute.
         bf16m = mode.startswith("pallas_bf16m")
         windows = mode.endswith("_win")
+        # "..._winx" = fused-gather window layout (K-deduplicated packed
+        # rows, batch content stacked per window, ONE gather + ONE
+        # multi-level kernel dispatch per iteration — trainer.body_winx)
+        winx = mode.endswith("_winx")
         settings = trainer.TrainSettings.from_config(
             cfg, grid.levels,
-            feature_update="pallas" if (bf16m or windows) else mode,
+            feature_update="pallas" if (bf16m or windows or winx) else mode,
             n_used=trainer.used_rows_for(grid, granularity=64),
         )
         params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
@@ -158,14 +162,21 @@ def main() -> None:
         opt_state = init_opt_state(params, moments_bf16=bf16m)
         shadow = trainer.empty_shadow(params["features"])
         batch_windows = None
-        if windows:
+        if windows or winx:
             feat_shapes = tuple(tuple(f.shape) for f in params["features"])
             t0 = time.perf_counter()
-            batch_windows = trainer.precompute_batch_windows(
-                pre_lookups, n_pool, jax.random.PRNGKey(7), settings,
-                feat_shapes,
-            )
-            _ = float(batch_windows["preps"][-1].ok[-1])  # readback fence
+            if winx:
+                batch_windows = trainer.precompute_batch_windows_fused(
+                    pre_lookups, dev_pool, n_pool, jax.random.PRNGKey(7),
+                    settings, feat_shapes,
+                )
+                _ = float(batch_windows["pre"].ok[-1])  # readback fence
+            else:
+                batch_windows = trainer.precompute_batch_windows(
+                    pre_lookups, n_pool, jax.random.PRNGKey(7), settings,
+                    feat_shapes,
+                )
+                _ = float(batch_windows["preps"][-1].ok[-1])  # readback fence
             print(
                 f"[bench] window precompute ({n_pool // cfg.bs} windows): "
                 f"{time.perf_counter() - t0:.2f} s (once per run)",
@@ -200,7 +211,7 @@ def main() -> None:
     # size, sparse for giant maps.  SHINE_BENCH_MODES=pallas,... restricts
     # the sweep (set per-child by the orchestrator; also the dev loop knob).
     modes = os.environ.get("SHINE_BENCH_MODES",
-                           "pallas,pallas_bf16m,pallas_bf16m_win,fused,sparse")
+                           "pallas,pallas_bf16m,pallas_bf16m_win,pallas_bf16m_winx,fused,sparse")
     chunk_t = min(run_variant(m) for m in modes.split(","))
 
     pts_per_s = n_iters * cfg.bs / chunk_t
@@ -219,7 +230,8 @@ def main() -> None:
 # known-best order: if a later mode wedges the tunnel, the best candidates
 # have already banked their results
 ORCHESTRATED_MODES = (
-    "pallas_bf16m_win", "pallas_bf16m", "pallas", "fused", "sparse",
+    "pallas_bf16m_winx", "pallas_bf16m_win", "pallas_bf16m", "pallas",
+    "fused", "sparse",
 )
 
 

@@ -198,9 +198,15 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         if pre is None or not use_windows:
             return None
         n_live = capacity if rotate_pool else len(dataset.pool)
+        wkey = jax.random.fold_in(key, 0x5157)
+        if cfg.windows_fused and batch_sharding is None:
+            # single chip: fused-gather window layout (one gather + one
+            # kernel dispatch per iteration; same windows/batches)
+            return trainer.precompute_batch_windows_fused(
+                pre, dev_pool, int(n_live), wkey, settings, feat_shapes,
+            )
         return trainer.precompute_batch_windows(
-            pre, int(n_live), jax.random.fold_in(key, 0x5157), settings,
-            feat_shapes,
+            pre, int(n_live), wkey, settings, feat_shapes,
         )
 
     pre_lookups = make_pre()

@@ -238,6 +238,15 @@ class SHINEConfig:
     # precompute_lookups.  Data-parallel runs supported (the sharded
     # update island consumes the same precomputed prep).
     batch_windows: bool = False
+    # with batch_windows on a single chip, use the fused-gather window
+    # layout: batch content pre-gathered into window stacks, the K distinct
+    # packed rows per sample per level resolved at precompute (a node's 8
+    # corners almost always share one packed row), the forward ONE gather
+    # from the concatenated tables, the update ONE multi-level kernel
+    # dispatch.  Same sampling semantics as batch_windows; ~35% faster
+    # iteration (experiments/exp_r3_winx.py).  Data-parallel runs fall back
+    # to the per-level window layout automatically.
+    windows_fused: bool = True
     # write a jax.profiler device trace of one steady-state training chunk
     # to this directory (view with tensorboard / xprof); empty = off
     profile_dir: str = ""
@@ -359,7 +368,8 @@ class SHINEConfig:
         known_tpu = {
             "scan_chunk", "mesh_shape", "feature_update",
             "fuse_update_levels", "moments_bf16", "sort_batch",
-            "precompute_lookups", "batch_windows", "profile_dir",
+            "precompute_lookups", "batch_windows", "windows_fused",
+            "profile_dir",
             "coordinator", "num_processes", "process_id", "table_sharding",
             "shard_ingest", "init_node_capacity", "init_corner_capacity",
             "init_pool_capacity", "max_device_pool", "pool_rotate_iters",
@@ -380,6 +390,7 @@ class SHINEConfig:
         self.precompute_lookups = opt(
             "tpu", "precompute_lookups", self.precompute_lookups)
         self.batch_windows = opt("tpu", "batch_windows", self.batch_windows)
+        self.windows_fused = opt("tpu", "windows_fused", self.windows_fused)
         self.profile_dir = opt("tpu", "profile_dir", self.profile_dir)
         self.coordinator = opt("tpu", "coordinator", self.coordinator)
         self.num_processes = opt("tpu", "num_processes", self.num_processes)

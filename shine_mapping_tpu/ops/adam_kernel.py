@@ -153,9 +153,10 @@ def _pallas_update(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
 
 
 def _kernel_multi(offs_ref, scal_ref, lvl_ref, rowmap_ref, p_ref, m_ref,
-                  v_ref, prow0_ref, prow1_ref, g0h_ref, g0l_ref, g1h_ref,
-                  g1l_ref, po_ref, mo_ref, vo_ref, *, tb: int, w: int,
+                  v_ref, prow0_ref, prow1_ref, *g_refs, tb: int, w: int,
                   b1: float, b2: float, eps: float):
+    po_ref, mo_ref, vo_ref = g_refs[-3:]
+    g_refs = g_refs[:-3]
     t = pl.program_id(0)
     lr = scal_ref[3 + lvl_ref[t]]  # per-level learning rate
     bc1 = scal_ref[1]
@@ -166,12 +167,20 @@ def _kernel_multi(offs_ref, scal_ref, lvl_ref, rowmap_ref, p_ref, m_ref,
              + rowmap_ref[t] * tb)
     A0 = (prow0_ref[:] == s_ids).astype(jnp.bfloat16)
     A1 = (prow1_ref[:] == s_ids).astype(jnp.bfloat16)
-    gtile = (
-        jnp.dot(A0, g0h_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(A0, g0l_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(A1, g1h_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(A1, g1l_ref[:], preferred_element_type=jnp.float32)
-    )
+    if len(g_refs) == 4:  # exact: bf16 hi+lo split reproduces f32 grads
+        g0h_ref, g0l_ref, g1h_ref, g1l_ref = g_refs
+        gtile = (
+            jnp.dot(A0, g0h_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(A0, g0l_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(A1, g1h_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(A1, g1l_ref[:], preferred_element_type=jnp.float32)
+        )
+    else:  # bf16 grads (tpu.moments_bf16 update path): half the matmuls
+        g0h_ref, g1h_ref = g_refs
+        gtile = (
+            jnp.dot(A0, g0h_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(A1, g1h_ref[:], preferred_element_type=jnp.float32)
+        )
     m_new = b1 * m_ref[:].astype(jnp.float32) + (1.0 - b1) * gtile
     v_new = b2 * v_ref[:].astype(jnp.float32) + (1.0 - b2) * gtile * gtile
     po_ref[:] = p_ref[:] - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
@@ -183,25 +192,22 @@ def _pallas_update_multi(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
                          lvl, rowmap, T: int, tb: int, w: int, b1: float,
                          b2: float, eps: float):
     R = p128.shape[0]
+    with_lo = g_lo is not None
+    tile_spec = pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0))
+    w0_spec = pl.BlockSpec((w, 128), lambda t, o, s, l, rm: (o[t], 0))
+    w1_spec = pl.BlockSpec((w, 128), lambda t, o, s, l, rm: (o[t] + 1, 0))
+    g_specs = [w0_spec, w0_spec, w1_spec, w1_spec] if with_lo else [
+        w0_spec, w1_spec]
+    g_args = (g_hi, g_lo, g_hi, g_lo) if with_lo else (g_hi, g_hi)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0)),
-            pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0)),
-            pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0)),
+            tile_spec, tile_spec, tile_spec,
             pl.BlockSpec((1, w), lambda t, o, s, l, rm: (0, o[t])),
             pl.BlockSpec((1, w), lambda t, o, s, l, rm: (0, o[t] + 1)),
-            pl.BlockSpec((w, 128), lambda t, o, s, l, rm: (o[t], 0)),
-            pl.BlockSpec((w, 128), lambda t, o, s, l, rm: (o[t], 0)),
-            pl.BlockSpec((w, 128), lambda t, o, s, l, rm: (o[t] + 1, 0)),
-            pl.BlockSpec((w, 128), lambda t, o, s, l, rm: (o[t] + 1, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0)),
-            pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0)),
-            pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0)),
-        ],
+        ] + g_specs,
+        out_specs=[tile_spec, tile_spec, tile_spec],
     )
     return pl.pallas_call(
         functools.partial(_kernel_multi, tb=tb, w=w, b1=b1, b2=b2, eps=eps),
@@ -216,8 +222,7 @@ def _pallas_update_multi(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(offs, scal, lvl, rowmap, p128, m128, v128, prow_p, prow_p, g_hi, g_lo,
-      g_hi, g_lo)
+    )(offs, scal, lvl, rowmap, p128, m128, v128, prow_p, prow_p, *g_args)
 
 
 def choose_tiles_multi(Rs: Sequence[int], M: int) -> Tuple[int, int]:
@@ -237,6 +242,155 @@ def choose_tiles_multi(Rs: Sequence[int], M: int) -> Tuple[int, int]:
         if 4 * tb0 * w + 2048 * w <= _VMEM_BUDGET or tb0 <= 16:
             return tb0, w
         tb0 //= 2
+
+
+def _multi_geometry(shapes, M: int, n_used):
+    """Shared static geometry of the fused multi-level kernel: tile size,
+    window block, per-level used-head row counts, and the tile -> (global
+    row block, level) maps.  ``entry_prep_multi`` and
+    ``fused_adam_packed_multi_pre`` must derive identical geometry from the
+    same static (shapes, M, n_used) — factored so they cannot drift."""
+    Rs = [C * d // 128 for C, d in shapes]
+    roffs = np.concatenate([[0], np.cumsum(Rs)]).astype(np.int64)
+    tb, w = choose_tiles_multi(Rs, M)
+    Rus = list(Rs)
+    if n_used is not None:
+        for i, (C_i, D_i) in enumerate(shapes):
+            if n_used[i] < C_i:
+                need = (n_used[i] * D_i + 127) // 128
+                ru = (need + tb - 1) // tb * tb
+                Rus[i] = max(min(Rs[i], ru), tb)
+    rowmap_np = np.concatenate([
+        roffs[i] // tb + np.arange(Rus[i] // tb, dtype=np.int64)
+        for i in range(len(shapes))
+    ]).astype(np.int32)
+    lvl_np = np.repeat(np.arange(len(shapes), dtype=np.int32),
+                       [ru // tb for ru in Rus]).astype(np.int32)
+    return Rs, Rus, roffs, tb, w, rowmap_np, lvl_np
+
+
+def entry_prep_multi(prow_g: jnp.ndarray, zero_mask: jnp.ndarray,
+                     shapes, n_used=None) -> EntryPrep:
+    """:class:`EntryPrep` for the fused multi-level kernel.
+
+    ``prow_g`` (M,) int32 GLOBAL packed-row ids (level-local row + the
+    level's packed-row offset), including pad entries already spread over
+    visited rows by the caller; ``zero_mask`` (M,) marks entries whose
+    gradients must be zeroed defensively (pads / misses — their gradients
+    are zero by construction, the mask guards against regressions).  Must
+    use the same static (shapes, M, n_used) as the consuming
+    :func:`fused_adam_packed_multi_pre`.
+    """
+    M = prow_g.shape[0]
+    Rs, Rus, roffs, tb, w, rowmap_np, lvl_np = _multi_geometry(
+        shapes, M, n_used)
+    hints = dict(unique_indices=True, mode="promise_in_bounds")
+    order = jnp.argsort(prow_g)
+    prow = prow_g.at[order].get(**hints)
+    zm_s = zero_mask.at[order].get(**hints)
+    Mpad = ((M + w - 1) // w) * w + w
+    prow_p = jnp.full((1, Mpad), -1, jnp.int32).at[0, :M].set(prow)
+    starts = jnp.asarray(rowmap_np.astype(np.int64) * tb, jnp.int32)
+    wstart = jnp.searchsorted(prow, starts).astype(jnp.int32)
+    wend = jnp.searchsorted(prow, starts + tb).astype(jnp.int32)
+    offs = jnp.minimum(wstart // w, Mpad // w - 2).astype(jnp.int32)
+    # every tile's entries must fit its two w-blocks AND every entry must
+    # land in a visited tile (coverage == M)
+    ok = jnp.logical_and(
+        jnp.all(wend <= offs * w + 2 * w),
+        jnp.sum(wend - wstart) == M,
+    )
+    return EntryPrep(order=order, trash=zm_s, prow_p=prow_p, offs=offs,
+                     ok=ok)
+
+
+def fused_adam_packed_multi_pre(
+    p128: jnp.ndarray,
+    m128: jnp.ndarray,
+    v128: jnp.ndarray,
+    g128: jnp.ndarray,
+    prow_g: jnp.ndarray,
+    pre: EntryPrep,
+    lr: jnp.ndarray,
+    bc1: jnp.ndarray,
+    bc2: jnp.ndarray,
+    shapes: Sequence[Tuple[int, int]],
+    lr_scales: Sequence[float],
+    b1: float = 0.9,
+    b2: float = 0.99,
+    eps: float = 1e-15,
+    use_pallas: bool = True,
+    n_used: Sequence[int] | None = None,
+    grads_bf16: bool = False,
+):
+    """Dense-Adam step over ALL levels' concatenated packed tables in ONE
+    kernel dispatch, with the row-only prep (:func:`entry_prep_multi`)
+    precomputed — the epoch-window production path.
+
+    ``g128`` (M, 128) lane-aligned gradients in ENTRY order (each entry's
+    nonzero lanes sit wherever its corners live in the packed row — entries
+    may cover several slots, unlike the per-level path); ``prow_g`` (M,)
+    the matching global packed rows (used by the XLA fallback scatter).
+    Pad/miss entries must carry exactly-zero gradients (``pre.trash``
+    re-zeroes them defensively).  Semantics: reference dense Adam per
+    level, identical to :func:`fused_adam_packed_multi` up to f32
+    addition order.
+    """
+    M = g128.shape[0]
+    Rs, Rus, roffs, tb, w, rowmap_np, lvl_np = _multi_geometry(
+        shapes, M, n_used)
+    if grads_bf16:
+        g128 = g128.astype(jnp.bfloat16).astype(jnp.float32)
+
+    # static per-row lr-scale vector for the fallback (level boundaries are
+    # static): one dense per-row-lr Adam pass over the concatenated table
+    lr_rows = jnp.asarray(np.repeat(
+        np.asarray(list(lr_scales), np.float32), Rs)[:, None])
+    hints = dict(unique_indices=True, mode="promise_in_bounds")
+
+    def xla_full(p128, m128, v128):
+        gz = jnp.where(
+            pre.trash.at[jnp.argsort(pre.order)].get(**hints)[:, None],
+            0.0, g128)
+        gd = jnp.zeros_like(p128).at[prow_g].add(gz)
+        m = b1 * m128.astype(jnp.float32) + (1.0 - b1) * gd
+        v = b2 * v128.astype(jnp.float32) + (1.0 - b2) * gd * gd
+        p = p128 - (lr * lr_rows) * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+        return p, m.astype(m128.dtype), v.astype(v128.dtype)
+
+    if not (use_pallas and _HAS_PALLAS
+            and all(packable(C, d) for C, d in shapes)):
+        return xla_full(p128, m128, v128)
+    gs = g128.at[pre.order].get(**hints)
+    gs = jnp.where(pre.trash[:, None], 0.0, gs)
+    g_hi = gs.astype(jnp.bfloat16)
+    g_lo = (None if grads_bf16
+            else (gs - g_hi.astype(jnp.float32)).astype(jnp.bfloat16))
+    Mpad = pre.prow_p.shape[1]
+    pad_g = jnp.zeros((Mpad - M, 128), jnp.bfloat16)
+    g_hi = jnp.concatenate([g_hi, pad_g], axis=0)
+    if g_lo is not None:
+        g_lo = jnp.concatenate([g_lo, pad_g], axis=0)
+
+    scal = jnp.concatenate([
+        jnp.stack([lr, bc1, bc2]).astype(jnp.float32),
+        lr * jnp.asarray(list(lr_scales), jnp.float32),
+    ])
+    lvl = jnp.asarray(lvl_np)
+    rowmap = jnp.asarray(rowmap_np)
+    T = int(rowmap_np.shape[0])
+
+    def do_pallas(args):
+        p128, m128, v128 = args
+        return tuple(_pallas_update_multi(
+            p128, m128, v128, pre.prow_p, g_hi, g_lo, pre.offs, scal,
+            lvl, rowmap, T, tb, w, b1, b2, eps,
+        ))
+
+    def do_xla(args):
+        return xla_full(*args)
+
+    return jax.lax.cond(pre.ok, do_pallas, do_xla, (p128, m128, v128))
 
 
 def _xla_update_lanes_lr(p128, m128, v128, rows, g128, lr, bc1, bc2,

@@ -360,6 +360,41 @@ def _compute_loss(params, tables, batch, shadow, key, s: TrainSettings):
     return total, aux
 
 
+def _feat_winx(c, G, wx, s: TrainSettings):
+    """Interpolated hierarchical feature from K-deduplicated packed rows.
+
+    ``G`` is ONE (B, L*K, 128) array: K gathered packed rows per sample per
+    level (a node's 8 corners almost always share one packed row because
+    growth allocates them contiguously — bench world: mean 1.3, max 4
+    unique rows; experiments/exp_r3_winx.py).  Per level the 8 corner
+    weights accumulate into per-(sample, gathered-row) lane masks ``w_k``
+    before multiplying the rows — the same trilinear sum as ``lanefold``
+    grouped by packed row (bit-equal on CPU), with HALF the gathered rows
+    and kernel entries.  ``wx`` carries the window's static structure:
+    kidx (B, L*8) row-slot of each corner, slots (B, L*8) lane slot,
+    found (B, L), K.
+    """
+    K = wx["K"]
+    D = wx["feat_dims"][0]
+    PACK = 128 // D
+    lanegrp = jnp.arange(128, dtype=jnp.int32) // D
+    karange = jnp.arange(K, dtype=jnp.int32)
+    f = None
+    for i, level in enumerate(s.levels):
+        w8 = corner_weights(c, level, s.poly_int_on)
+        w8 = jnp.where(wx["found"][:, i][:, None], w8, 0.0)
+        sl_i = wx["slots"][:, i * 8:(i + 1) * 8]
+        ki = wx["kidx"][:, i * 8:(i + 1) * 8]
+        w_m = jnp.where(
+            lanegrp[None, None, :] == sl_i[:, :, None], w8[:, :, None], 0.0)
+        onek = (ki[:, :, None] == karange[None, None, :]).astype(w_m.dtype)
+        w_k = jnp.einsum("bcl,bck->bkl", w_m, onek)
+        c128 = jnp.einsum("bkl,bkl->bl", w_k, G[:, i * K:(i + 1) * K])
+        fi = c128.reshape(-1, PACK, D).sum(axis=1)
+        f = fi if f is None else f + fi
+    return f
+
+
 def _feat_from_rows(c, G_l, found_l, s: TrainSettings, slots_l=None,
                     feat_dims=None):
     """Interpolated hierarchical feature from pre-gathered corner rows.
@@ -399,21 +434,27 @@ def _compute_loss_sparse(dense_params, G_list, G_near, batch, fac, key, s: Train
     """
     coords = batch["coord"]
     weight = batch["weight"]
-    found = fac["found"]
+    found = fac.get("found")
     # pallas mode: G rows are whole 128-lane packed rows; slots select the
     # D target lanes inside the interpolation reduction (lanefold)
     slots = fac.get("slots")
     feat_dims = fac.get("feat_dims")
+    winx = fac.get("winx")  # K-dedup fused-gather mode (epoch windows)
     surface_mask = weight > 0
     aux: Dict[str, jnp.ndarray] = {}
 
+    def feat_of(c):
+        if winx is not None:
+            return _feat_winx(c, G_list, winx, s)
+        return _feat_from_rows(c, G_list, found, s, slots, feat_dims)
+
     def pred_of(c):
-        f = _feat_from_rows(c, G_list, found, s, slots, feat_dims)
+        f = feat_of(c)
         if s.time_conditioned:
             return decoder.time_conditioned_sdf(dense_params["geo"], f, batch["ts"])
         return decoder.sdf(dense_params["geo"], f)
 
-    feat = _feat_from_rows(coords, G_list, found, s, slots, feat_dims)
+    feat = feat_of(coords)
     if s.time_conditioned:
         pred = decoder.time_conditioned_sdf(dense_params["geo"], feat, batch["ts"])
     else:
@@ -614,7 +655,8 @@ def train_chunk(
     """
     feat_shapes = tuple(tuple(f.shape) for f in params["features"])
     mode = _resolve_mode(settings, feat_shapes)
-    if batch_windows is not None and not (
+    winx = batch_windows is not None and "rows_kg" in batch_windows
+    if batch_windows is not None and not winx and not (
         batch_windows_ok(settings, feat_shapes)
         and pre_lookups is not None
     ):
@@ -623,6 +665,18 @@ def train_chunk(
             "pallas, no fuse_update_levels), point-mode loss without "
             f"consistency, and pre_lookups (mode: {mode})"
         )
+    if winx:
+        if not (batch_windows_ok(settings, feat_shapes) and mode == "pallas"):
+            raise ValueError(
+                "fused batch windows require the pallas update and a "
+                f"point-mode loss without consistency (mode: {mode})"
+            )
+        if batch_sharding is not None:
+            raise ValueError(
+                "fused batch windows are single-chip only (multi-slot "
+                "entry gradients cannot ride the narrow DP all-gather); "
+                "use precompute_batch_windows for data-parallel runs"
+            )
     if opt_state.m["features"][0].dtype == jnp.bfloat16 and mode != "pallas":
         # only the pallas update (and its fallbacks) preserves the bf16
         # moment carry; the other formulations would promote it to f32 and
@@ -633,9 +687,11 @@ def train_chunk(
         )
     # single-chip pallas: concatenate all levels into one packed array so
     # the update is ONE kernel dispatch (multi-chip keeps per-level arrays:
-    # the shard_map island + narrow all-gather is per level)
+    # the shard_map island + narrow all-gather is per level).  The fused
+    # window mode (winx) REQUIRES the fused carry: its forward is one
+    # gather from the concatenated table.
     fuse_tables = (mode == "pallas" and batch_sharding is None
-                   and settings.fuse_update_levels)
+                   and (settings.fuse_update_levels or winx))
     if mode == "pallas":
         pack = _pack_feats_fused_jit if fuse_tables else _pack_feats_jit
         params = dict(params, features=pack(params["features"]))
@@ -1159,7 +1215,84 @@ def _train_chunk_impl(
         )
         return (params, opt_state, key), aux
 
-    if mode in ("fused", "pallas"):
+    def body_winx(carry, it):
+        """Fused-window iteration: the batch content, the K-deduplicated
+        global gather rows, and the kernel's row prep all come PRECOMPUTED
+        per epoch window (precompute_batch_windows_fused) — the iteration
+        is one contiguous window slice, ONE (B, L*K) gather from the
+        concatenated table, the loss, and ONE multi-level kernel dispatch
+        (experiments/exp_r3_winx.py; bit-equal to the per-level window
+        path on CPU)."""
+        params, opt_state, key = carry
+        key, k_idx, k_loss = jax.random.split(key, 3)
+        wx = batch_windows
+        W = wx["rows_kg"].shape[0]
+        wsel = jnp.mod(start_iter + it, W)
+
+        def sl(a):
+            return jax.lax.dynamic_index_in_dim(a, wsel, 0, False)
+
+        batch = {k2: sl(v) for k2, v in wx["pool"].items()}
+        batch["ts"] = batch.pop("time", None)
+        rows_kg = sl(wx["rows_kg"])
+        L = len(s.levels)
+        fac = {"winx": {
+            "K": rows_kg.shape[1] // L,
+            "feat_dims": tuple(sh[1] for sh in feat_shapes),
+            "kidx": sl(wx["kidx"]).astype(jnp.int32),
+            "slots": sl(wx["slots"]).astype(jnp.int32),
+            "found": sl(wx["found"]),
+        }}
+        pre = jax.tree_util.tree_map(sl, wx["pre"])
+
+        G = params["features"][rows_kg]  # ONE gather, all levels
+        dense_params = {k: v for k, v in params.items() if k != "features"}
+        (loss, aux), (g_dense, g_G) = jax.value_and_grad(
+            _compute_loss_sparse, argnums=(0, 1), has_aux=True
+        )(dense_params, G, (), batch, fac, k_loss, s)
+
+        lr = lr_at_step(
+            s.lr, start_iter + it, s.lr_decay_step, s.lr_iters_reduce_ratio
+        )
+        dense_state = OptState(
+            m={k: opt_state.m[k] for k in dense_params},
+            v={k: opt_state.v[k] for k in dense_params},
+            step=opt_state.step,
+        )
+        dense_scale = {k: lr_scale_tree[k] for k in dense_params}
+        dense_wd = {k: wd_tree[k] for k in dense_params}
+        new_dense, dense_state = adam_update(
+            dense_params, g_dense, dense_state, lr, dense_scale, dense_wd,
+            b1=0.9, b2=0.99, eps=s.adam_eps,
+        )
+        t = dense_state.step.astype(jnp.float32)
+        bc1 = 1.0 - 0.9 ** t
+        bc2 = 1.0 - 0.99 ** t
+        lr_scales = tuple(
+            s.lr_level_reduce_ratio ** i for i in range(L)
+        )
+        f_n, m_n, v_n = adam_kernel.fused_adam_packed_multi_pre(
+            params["features"],
+            opt_state.m["features"],
+            opt_state.v["features"],
+            g_G.reshape(-1, 128), rows_kg.reshape(-1), pre,
+            lr, bc1, bc2, feat_shapes, lr_scales, eps=s.adam_eps,
+            use_pallas=use_pallas_kernel, n_used=s.n_used,
+            grads_bf16=bf16_update,
+        )
+        params = dict(new_dense)
+        params["features"] = f_n
+        opt_state = OptState(
+            m=dict(dense_state.m, features=m_n),
+            v=dict(dense_state.v, features=v_n),
+            step=dense_state.step,
+        )
+        return (params, opt_state, key), aux
+
+    winx = batch_windows is not None and "rows_kg" in batch_windows
+    if winx:
+        body = body_winx
+    elif mode in ("fused", "pallas"):
         body = body_fused
     elif mode == "sparse":
         body = body_sparse
@@ -1287,6 +1420,142 @@ def precompute_batch_windows(pre_lookups, n_valid: int, key, settings,
 
     preps = tuple(level_windows(i) for i in range(len(s.levels)))
     return {"idx": win_idx, "preps": preps}
+
+
+def max_unique_prows(pre_lookups, feat_dims) -> int:
+    """Max number of DISTINCT packed (R, 128) rows the 8 corners of any
+    pool sample touch at any level.  Growth allocates a node's corners
+    contiguously, so this is small (bench world: max 4 of 8) — it sets the
+    static K of the fused-gather window mode."""
+    @jax.jit
+    def _m(pre):
+        outs = []
+        for i, (c, _) in enumerate(pre):
+            pr = jnp.sort(c // (128 // feat_dims[i]), axis=1)
+            nf = jnp.concatenate(
+                [jnp.ones((c.shape[0], 1), bool), pr[:, 1:] != pr[:, :-1]],
+                axis=1)
+            outs.append(jnp.max(jnp.sum(nf, axis=1)))
+        return jnp.max(jnp.stack(outs))
+
+    return int(_m(pre_lookups))
+
+
+def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
+                                   settings, feat_shapes):
+    """Epoch windows in the fused-gather, K-deduplicated layout (the
+    fastest single-chip path — experiments/exp_r3_winx.py).
+
+    Same sampling semantics as :func:`precompute_batch_windows` (identical
+    permutation given the same key), but the per-window precompute goes
+    further, exploiting two round-3 measurements: TPU gathers are
+    row-count-bound (~10-16 ns/row regardless of row width), and a node's
+    8 corners almost always share ONE packed row.  Per window this stores:
+
+    * the batch CONTENT itself (pool fields pre-gathered into (W, bs, ...)
+      stacks — per-iteration sampling becomes a contiguous dynamic slice),
+    * ``rows_kg`` (bs, L*K): the K distinct packed rows per sample per
+      level, as GLOBAL rows into the levels' concatenated (R_tot, 128)
+      table — the forward is ONE gather of B*L*K rows (~half of B*L*8),
+    * ``kidx``/``slots`` (bs, L*8) int8: each corner's gathered-row index
+      and lane slot (drives :func:`_feat_winx`),
+    * ``pre``: the global :func:`adam_kernel.entry_prep_multi` row prep —
+      the update is ONE :func:`adam_kernel.fused_adam_packed_multi_pre`
+      kernel dispatch over all levels.
+
+    Memory: ~230 B/sample (on par with the per-level windows prep, whose
+    pre_lookups it can replace).  Single-chip only: the multi-slot entry
+    gradients cannot ride the narrow-lane DP all-gather, so data-parallel
+    runs keep :func:`precompute_batch_windows`.  Pass the result as
+    ``train_chunk(..., batch_windows=...)``; invalidation contract is the
+    same (recompute on growth / pool rotation).
+    """
+    s = settings
+    L = len(s.levels)
+    feat_dims = tuple(sh[1] for sh in feat_shapes)
+    # K: static, bucketed to a power of two to bound executable count as
+    # the map grows (incremental use); 8 = no dedup, degrades gracefully
+    k_raw = max_unique_prows(pre_lookups, feat_dims)
+    K = 2
+    while K < k_raw:
+        K *= 2
+    Rs, Rus, roffs, _tb, _w, _rm, _lv = adam_kernel._multi_geometry(
+        feat_shapes, s.bs * L * K, s.n_used)
+
+    W = max(-(int(n_valid) // -s.bs), 1)
+    perm = jax.random.permutation(key, n_valid)
+    if W * s.bs > n_valid:
+        reps = -((W * s.bs) // -n_valid)
+        perm = jnp.tile(perm, reps)
+    win_idx = perm[: W * s.bs].reshape(W, s.bs).astype(jnp.int32)
+
+    stack_fields = [
+        f for f in ("coord", "sdf_label", "weight", "time", "normal_label",
+                    "origin", "sem_label")
+        if f in dev_pool and dev_pool[f] is not None
+    ]
+
+    def prep_window(idx):
+        out = {"pool": {f: dev_pool[f][idx] for f in stack_fields}}
+        bs = s.bs
+        rows_kg, kidx_all, slots_all, found_all, zero_all = [], [], [], [], []
+        for i in range(L):
+            PACK = 128 // feat_dims[i]
+            corners = pre_lookups[i][0][idx]
+            found = pre_lookups[i][1][idx]
+            prow8 = (corners // PACK).astype(jnp.int32)
+            slots8 = (corners % PACK).astype(jnp.int8)
+            # sort-free first-occurrence dedup over the 8 corners (O(8^2)
+            # elementwise beats per-sample argsort + scatters on TPU):
+            # kidx[b,c] = rank of corner c's row among the sample's
+            # first occurrences, in corner order
+            eq = prow8[:, :, None] == prow8[:, None, :]        # (bs,8,8)
+            first = jnp.argmax(eq, axis=2).astype(jnp.int32)   # min c' equal
+            carange = jnp.arange(8, dtype=jnp.int32)
+            is_first = first == carange[None, :]
+            rank_at_first = jnp.cumsum(is_first, axis=1) - 1   # (bs,8)
+            kidx8 = jnp.take_along_axis(rank_at_first, first, axis=1)
+            kidx = kidx8.astype(jnp.int8)
+            nuniq = jnp.sum(is_first, axis=1)
+            onek = (kidx8[:, :, None]
+                    == jnp.arange(K, dtype=jnp.int32)[None, None, :])
+            rows_k = jnp.sum(
+                jnp.where(onek & is_first[:, :, None],
+                          prow8[:, :, None], 0),
+                axis=1,
+            )
+            valid_k = (jnp.arange(K)[None, :] < nuniq[:, None]) & found[:, None]
+            # pad/miss entries: zero grads, rows spread EVENLY over the
+            # level's whole used head (a modulo spread leaves them bunched
+            # in the first bs*K rows and overflows those tiles' windows —
+            # bench: 186 tiles at >2w entries, forcing the XLA fallback)
+            flat = jnp.arange(bs * K, dtype=jnp.int32).reshape(bs, K)
+            # overflow-safe even spread (flat * (Rus-1) exceeds int32)
+            q, r = divmod(max(Rus[i] - 1, 1), bs * K)
+            spread = flat * q + (flat * r) // (bs * K)
+            rows_g = jnp.where(valid_k, rows_k, spread) + int(roffs[i])
+            rows_kg.append(rows_g)
+            kidx_all.append(kidx)
+            slots_all.append(slots8)
+            found_all.append(found)
+            zero_all.append(~valid_k)
+        rows_kg = jnp.concatenate(rows_kg, axis=1)
+        zero_mask = jnp.concatenate(zero_all, axis=1).reshape(-1)
+        out["rows_kg"] = rows_kg
+        out["kidx"] = jnp.concatenate(kidx_all, axis=1)
+        out["slots"] = jnp.concatenate(slots_all, axis=1)
+        out["found"] = jnp.stack(found_all, axis=1)
+        out["pre"] = adam_kernel.entry_prep_multi(
+            rows_kg.reshape(-1), zero_mask, feat_shapes, s.n_used)
+        return out
+
+    @jax.jit
+    def prep_all(win_idx):
+        return jax.lax.map(prep_window, win_idx)
+
+    out = prep_all(win_idx)
+    out["idx"] = win_idx
+    return out
 
 
 def pool_to_device(pool, capacity: int, settings: TrainSettings, subset=None):

@@ -301,3 +301,238 @@ def test_train_chunk_windows_gate():
             n_valid, jnp.int32(0), jax.random.PRNGKey(0), settings, 2,
             pre_lookups=pre, batch_windows=win,
         )
+
+
+# --------------------------------------------------------------- winx mode
+# (fused-gather window layout: K-deduplicated packed rows, stacked batch
+# content, ONE gather + ONE multi-level kernel dispatch per iteration —
+# trainer.precompute_batch_windows_fused / body_winx)
+
+
+def _winx_setup(seed=5, n=2000, bs=256):
+    pool, surf = make_sphere_pool(n, seed=seed)
+    cfg = default_cfg(bs=bs)
+    grid, settings, params, opt_state, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="pallas"
+    )
+    feat_shapes = tuple(tuple(f.shape) for f in params["features"])
+    tables = tuple(grid.tables)
+    caps = tuple(f.shape[0] for f in params["features"])
+    pre = trainer.precompute_pool_lookups(
+        tables, dev_pool["coord"], tuple(grid.levels), caps
+    )
+    return (grid, settings, params, opt_state, dev_pool, n_valid,
+            feat_shapes, tables, pre)
+
+
+def test_precompute_windows_fused_structure():
+    """The fused window prep must (a) draw the SAME windows as the
+    per-level prep given the same key, and (b) encode exactly the corner
+    structure: reconstructing each corner's packed row from rows_kg[kidx]
+    recovers corners // PACK."""
+    (grid, settings, params, _, dev_pool, n_valid,
+     feat_shapes, tables, pre) = _winx_setup()
+    key = jax.random.PRNGKey(1)
+    win = trainer.precompute_batch_windows(
+        pre, int(n_valid), key, settings, feat_shapes)
+    wx = trainer.precompute_batch_windows_fused(
+        pre, dev_pool, int(n_valid), key, settings, feat_shapes)
+    np.testing.assert_array_equal(np.asarray(win["idx"]), np.asarray(wx["idx"]))
+
+    L = len(settings.levels)
+    K = wx["rows_kg"].shape[-1] // L
+    import numpy as _np
+    from shine_mapping_tpu.ops.adam_kernel import _multi_geometry
+    Rs, Rus, roffs, *_ = _multi_geometry(
+        feat_shapes, settings.bs * L * K, settings.n_used)
+    for wsel in range(min(3, wx["idx"].shape[0])):
+        idx = _np.asarray(wx["idx"][wsel])
+        for i in range(L):
+            D = feat_shapes[i][1]
+            PACK = 128 // D
+            corners = _np.asarray(pre[i][0])[idx]
+            found = _np.asarray(pre[i][1])[idx]
+            rows_k = _np.asarray(wx["rows_kg"][wsel])[:, i * K:(i + 1) * K]
+            kidx = _np.asarray(wx["kidx"][wsel])[:, i * 8:(i + 1) * 8]
+            slots = _np.asarray(wx["slots"][wsel])[:, i * 8:(i + 1) * 8]
+            got = _np.take_along_axis(rows_k, kidx.astype(_np.int64), axis=1)
+            want = corners // PACK + int(roffs[i])
+            _np.testing.assert_array_equal(got[found], want[found])
+            _np.testing.assert_array_equal(
+                slots[found], (corners % PACK)[found])
+            # stacked batch content == pool gather
+            _np.testing.assert_array_equal(
+                _np.asarray(wx["pool"]["coord"][wsel]),
+                _np.asarray(dev_pool["coord"])[idx])
+
+
+def test_winx_matches_per_level_windows():
+    """Same windows, same seeds: the winx body must reproduce the
+    per-level windows trajectory (same trilinear sums grouped by packed
+    row; CPU runs both through the XLA fallbacks)."""
+    (grid, settings, params, opt_state, dev_pool, n_valid,
+     feat_shapes, tables, pre) = _winx_setup()
+    key = jax.random.PRNGKey(1)
+    win = trainer.precompute_batch_windows(
+        pre, int(n_valid), key, settings, feat_shapes)
+    wx = trainer.precompute_batch_windows_fused(
+        pre, dev_pool, int(n_valid), key, settings, feat_shapes)
+    shadow = trainer.empty_shadow(params["features"])
+
+    def copy(p):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
+
+    k = jax.random.PRNGKey(2)
+    p1, _, aux1 = trainer.train_chunk(
+        copy(params), init_opt_state(params), tables, dev_pool, shadow,
+        n_valid, jnp.int32(0), k, settings, 8,
+        pre_lookups=pre, batch_windows=win)
+    p2, _, aux2 = trainer.train_chunk(
+        copy(params), init_opt_state(params), tables, dev_pool, shadow,
+        n_valid, jnp.int32(0), k, settings, 8,
+        batch_windows=wx)
+    np.testing.assert_allclose(
+        float(aux1["mean"]["total_loss"]), float(aux2["mean"]["total_loss"]),
+        rtol=1e-6)
+    for a, b in zip(p1["features"], p2["features"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_winx_chunk_split_consistency():
+    """(start_iter + it) % W window selection: split runs == single run,
+    bit-exact — resume continuity for the fused layout."""
+    (grid, settings, params, opt_state, dev_pool, n_valid,
+     feat_shapes, tables, pre) = _winx_setup(seed=9, n=1500)
+    wx = trainer.precompute_batch_windows_fused(
+        pre, dev_pool, int(n_valid), jax.random.PRNGKey(1), settings,
+        feat_shapes)
+    key = jax.random.PRNGKey(2)
+
+    def run(splits):
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        o = jax.tree_util.tree_map(jnp.copy, opt_state)
+        start = 0
+        for n in splits:
+            p, o, aux = trainer.train_chunk(
+                p, o, tables, dev_pool, trainer.empty_shadow(p["features"]),
+                n_valid, jnp.int32(start), key, settings, n,
+                batch_windows=wx)
+            start += n
+        return p
+
+    p_once = run([6])
+    p_split = run([2, 4])
+    for a, b in zip(p_once["features"], p_split["features"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_winx_gate_rejects_sharding():
+    """winx is single-chip only: passing batch_sharding must raise."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >1 virtual device")
+    (grid, settings, params, opt_state, dev_pool, n_valid,
+     feat_shapes, tables, pre) = _winx_setup(seed=13, n=1000)
+    wx = trainer.precompute_batch_windows_fused(
+        pre, dev_pool, int(n_valid), jax.random.PRNGKey(1), settings,
+        feat_shapes)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    with pytest.raises(ValueError, match="single-chip"):
+        trainer.train_chunk(
+            params, opt_state, tables, dev_pool,
+            trainer.empty_shadow(params["features"]),
+            n_valid, jnp.int32(0), jax.random.PRNGKey(0), settings, 2,
+            batch_windows=wx,
+            batch_sharding=NamedSharding(mesh, P("data")))
+
+
+@pytest.mark.parametrize("grads_bf16", [False, True])
+def test_fused_adam_multi_pre_matches_per_level(grads_bf16):
+    """entry_prep_multi + fused_adam_packed_multi_pre == per-level
+    fused_adam_packed on the level slices (the multi kernel is a
+    re-grouping, not new math).  Runs the REAL pallas kernels in interpret
+    mode on CPU; also checks the XLA fallback branch."""
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(17)
+    shapes = ((1 << 11, 8), (1 << 11, 8))
+    L = len(shapes)
+    M_i = 1024
+    n_used = (1500, 1200)
+    from shine_mapping_tpu.ops.adam_kernel import _multi_geometry
+    Rs, Rus, roffs, tb, w, rowmap_np, lvl_np = _multi_geometry(
+        shapes, M_i * L, n_used)
+
+    p_l, m_l, v_l, rows_l, g_l = [], [], [], [], []
+    prow_parts, zero_parts, g_parts = [], [], []
+    for i, (C, D) in enumerate(shapes):
+        PACK = 128 // D
+        p = rng.normal(size=(C, D)).astype(np.float32)
+        m = (rng.normal(size=(C, D)) * 0.1).astype(np.float32)
+        v = np.abs(rng.normal(size=(C, D)) * 0.01).astype(np.float32)
+        m[n_used[i]:] = 0.0
+        v[n_used[i]:] = 0.0
+        rows = rng.integers(0, n_used[i], M_i).astype(np.int32)
+        g128 = np.zeros((M_i, 128), np.float32)
+        lane0 = (rows % PACK) * D
+        gv = rng.normal(size=(M_i, D)).astype(np.float32)
+        for k_ in range(M_i):
+            g128[k_, lane0[k_]:lane0[k_] + D] = gv[k_]
+        p_l.append(p.reshape(-1, 128))
+        m_l.append(m.reshape(-1, 128))
+        v_l.append(v.reshape(-1, 128))
+        rows_l.append(rows)
+        g_l.append(g128)
+        prow_parts.append(rows // PACK + int(roffs[i]))
+        zero_parts.append(np.zeros(M_i, bool))
+        g_parts.append(g128)
+
+    prow_g = jnp.asarray(np.concatenate(prow_parts))
+    zero_mask = jnp.asarray(np.concatenate(zero_parts))
+    g_cat = jnp.asarray(np.concatenate(g_parts))
+    pre = adam_kernel.entry_prep_multi(prow_g, zero_mask, shapes, n_used)
+    assert bool(pre.ok)
+
+    p_cat = jnp.asarray(np.concatenate(p_l))
+    m_cat = jnp.asarray(np.concatenate(m_l))
+    v_cat = jnp.asarray(np.concatenate(v_l))
+    lr, bc1, bc2 = jnp.float32(0.01), jnp.float32(0.5), jnp.float32(0.5)
+    lr_scales = (1.0, 0.7)
+
+    orig = pl.pallas_call
+
+    def interpreted(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pl.pallas_call = interpreted
+    try:
+        got = adam_kernel.fused_adam_packed_multi_pre(
+            p_cat, m_cat, v_cat, g_cat, prow_g, pre, lr, bc1, bc2,
+            shapes, lr_scales, use_pallas=True, n_used=n_used,
+            grads_bf16=grads_bf16)
+        want = []
+        for i, (C, D) in enumerate(shapes):
+            lo, hi = int(roffs[i]), int(roffs[i + 1])
+            want.append(adam_kernel.fused_adam_packed(
+                p_cat[lo:hi], m_cat[lo:hi], v_cat[lo:hi],
+                jnp.asarray(rows_l[i]), jnp.asarray(g_l[i]),
+                lr * lr_scales[i], bc1, bc2, C, D, use_pallas=True,
+                lanes=True, n_used=n_used[i], grads_bf16=grads_bf16))
+    finally:
+        pl.pallas_call = orig
+    for j in range(3):
+        a = np.asarray(got[j])
+        b = np.concatenate([np.asarray(w_[j]) for w_ in want])
+        np.testing.assert_allclose(a, b, atol=5e-6)
+
+    # XLA fallback branch agrees too
+    fb = adam_kernel.fused_adam_packed_multi_pre(
+        p_cat, m_cat, v_cat, g_cat, prow_g, pre, lr, bc1, bc2,
+        shapes, lr_scales, use_pallas=False, n_used=n_used,
+        grads_bf16=grads_bf16)
+    for j in range(3):
+        np.testing.assert_allclose(
+            np.asarray(fb[j]), np.asarray(got[j]), atol=5e-6)

@@ -101,14 +101,19 @@ def test_batch_driver_end_to_end(synth_root, tmp_path):
     assert m["F-score (%)"] > 75.0, m
 
 
-def test_batch_driver_epoch_windows_end_to_end(synth_root, tmp_path, capsys):
+@pytest.mark.parametrize("fused", [False, True])
+def test_batch_driver_epoch_windows_end_to_end(synth_root, tmp_path, capsys,
+                                               fused):
     """tpu.batch_windows (epoch-window sampling + precomputed kernel prep)
-    through the full batch driver: same quality gates as iid sampling."""
+    through the full batch driver: same quality gates as iid sampling.
+    ``fused`` covers both window layouts — per-level (the DP path) and the
+    fused-gather winx layout (the single-chip default)."""
     from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
 
     cfg = small_cfg(synth_root, str(tmp_path))
     cfg.feature_update = "pallas"
     cfg.batch_windows = True
+    cfg.windows_fused = fused
     cfg.vis_freq_iters = cfg.iters  # final mesh
     run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
     assert "batch_windows requested but prerequisites unmet" not in capsys.readouterr().out
