@@ -536,3 +536,46 @@ def test_fused_adam_multi_pre_matches_per_level(grads_bf16):
     for j in range(3):
         np.testing.assert_allclose(
             np.asarray(fb[j]), np.asarray(got[j]), atol=5e-6)
+
+
+def test_winx_matches_per_level_windows_with_eikonal():
+    """Point-gradient losses (eikonal) differentiate through _feat_winx's
+    corner weights w.r.t. the COORDS; the fixed window structure (kidx /
+    slots / found) must not break that path."""
+    pool, surf = make_sphere_pool(1500, seed=21)
+    cfg = default_cfg(bs=256)
+    grid, settings, params, opt_state, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="pallas", ekional_loss_on=True,
+        weight_e=0.1,
+    )
+    feat_shapes = tuple(tuple(f.shape) for f in params["features"])
+    tables = tuple(grid.tables)
+    caps = tuple(f.shape[0] for f in params["features"])
+    pre = trainer.precompute_pool_lookups(
+        tables, dev_pool["coord"], tuple(grid.levels), caps)
+    key = jax.random.PRNGKey(1)
+    win = trainer.precompute_batch_windows(
+        pre, int(n_valid), key, settings, feat_shapes)
+    wx = trainer.precompute_batch_windows_fused(
+        pre, dev_pool, int(n_valid), key, settings, feat_shapes)
+    shadow = trainer.empty_shadow(params["features"])
+
+    def copy(p):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
+
+    k = jax.random.PRNGKey(2)
+    p1, _, aux1 = trainer.train_chunk(
+        copy(params), init_opt_state(params), tables, dev_pool, shadow,
+        n_valid, jnp.int32(0), k, settings, 6,
+        pre_lookups=pre, batch_windows=win)
+    p2, _, aux2 = trainer.train_chunk(
+        copy(params), init_opt_state(params), tables, dev_pool, shadow,
+        n_valid, jnp.int32(0), k, settings, 6,
+        batch_windows=wx)
+    np.testing.assert_allclose(
+        float(aux1["mean"]["total_loss"]), float(aux2["mean"]["total_loss"]),
+        rtol=1e-5)
+    assert float(aux1["mean"]["eikonal_loss"]) > 0
+    for a, b in zip(p1["features"], p2["features"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
