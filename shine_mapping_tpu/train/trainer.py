@@ -1224,7 +1224,10 @@ def _train_chunk_impl(
         (experiments/exp_r3_winx.py; bit-equal to the per-level window
         path on CPU)."""
         params, opt_state, key = carry
+        # same split structure as body_fused so equal seeds draw the same
+        # k_loss (k_idx unused: the window IS the batch)
         key, k_idx, k_loss = jax.random.split(key, 3)
+        del k_idx
         wx = batch_windows
         W = wx["rows_kg"].shape[0]
         wsel = jnp.mod(start_iter + it, W)
@@ -1495,14 +1498,17 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
         if f in dev_pool and dev_pool[f] is not None
     ]
 
-    def prep_window(idx):
-        out = {"pool": {f: dev_pool[f][idx] for f in stack_fields}}
+    # pre_lookups / dev_pool MUST enter the jit as ARGUMENTS: closing over
+    # them embeds hundreds of MB of constants in the HLO, which the remote
+    # compile service rejects (HTTP 413) and which defeats compile caching
+    def prep_window(idx, pre_lu, pool_stack):
+        out = {"pool": {f: pool_stack[f][idx] for f in stack_fields}}
         bs = s.bs
         rows_kg, kidx_all, slots_all, found_all, zero_all = [], [], [], [], []
         for i in range(L):
             PACK = 128 // feat_dims[i]
-            corners = pre_lookups[i][0][idx]
-            found = pre_lookups[i][1][idx]
+            corners = pre_lu[i][0][idx]
+            found = pre_lu[i][1][idx]
             prow8 = (corners // PACK).astype(jnp.int32)
             slots8 = (corners % PACK).astype(jnp.int8)
             # sort-free first-occurrence dedup over the 8 corners (O(8^2)
@@ -1550,10 +1556,14 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
         return out
 
     @jax.jit
-    def prep_all(win_idx):
-        return jax.lax.map(prep_window, win_idx)
+    def prep_all(win_idx, pre_lu, pool_stack):
+        return jax.lax.map(
+            lambda idx: prep_window(idx, pre_lu, pool_stack), win_idx
+        )
 
-    out = prep_all(win_idx)
+    out = prep_all(
+        win_idx, pre_lookups, {f: dev_pool[f] for f in stack_fields}
+    )
     out["idx"] = win_idx
     return out
 

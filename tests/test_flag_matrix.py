@@ -28,6 +28,12 @@ COMBOS = [
     # epoch-window sampling x bf16 update x used-rows sweep
     dict(feature_update="pallas", _moments_bf16=True, _n_used=True,
          _batch_windows=True),
+    # fused-gather window layout (winx) x bf16 x used-rows; and with
+    # eikonal (coordinate gradients through _feat_winx)
+    dict(feature_update="pallas", _moments_bf16=True, _n_used=True,
+         _batch_windows=True, _windows_fused=True),
+    dict(feature_update="pallas", ekional_loss_on=True, _n_used=True,
+         _batch_windows=True, _windows_fused=True),
 ]
 
 
@@ -39,6 +45,7 @@ def test_flag_combo_trains_finite(combo):
     moments_bf16 = combo.pop("_moments_bf16", False)
     with_n_used = combo.pop("_n_used", False)
     with_windows = combo.pop("_batch_windows", False)
+    windows_fused = combo.pop("_windows_fused", False)
     pool, surf = make_sphere_pool(800, seed=13)
     cfg = default_cfg(bs=512)
     if combo.get("time_conditioned"):
@@ -57,10 +64,18 @@ def test_flag_combo_trains_finite(combo):
         pre_lookups = trainer.precompute_pool_lookups(
             tuple(grid.tables), dev_pool["coord"], tuple(grid.levels), caps
         )
-        batch_windows = trainer.precompute_batch_windows(
-            pre_lookups, int(n_valid), jax.random.PRNGKey(3), settings,
-            tuple(tuple(f.shape) for f in params["features"]),
-        )
+        feat_shapes = tuple(tuple(f.shape) for f in params["features"])
+        if windows_fused:
+            batch_windows = trainer.precompute_batch_windows_fused(
+                pre_lookups, dev_pool, int(n_valid), jax.random.PRNGKey(3),
+                settings, feat_shapes,
+            )
+            pre_lookups = None  # winx needs no per-iteration lookups
+        else:
+            batch_windows = trainer.precompute_batch_windows(
+                pre_lookups, int(n_valid), jax.random.PRNGKey(3), settings,
+                feat_shapes,
+            )
     shadow = trainer.empty_shadow(params["features"])
     params, opt_state, aux = trainer.train_chunk(
         params, opt_state, tuple(grid.tables), dev_pool, shadow,
