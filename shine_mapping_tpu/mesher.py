@@ -51,10 +51,13 @@ def _infer_core(
     # mc mask: node found at the checked level (all 8 corners valid,
     # utils/mesher.py:80-89)
     mask = found[check_level]
+    # zero-size when semantics are off: a full-size int32 zeros output
+    # costs 4 B/query of HBM across the stacked lax.map outputs (~800 MB
+    # on a 200M-query reconstruction)
     sem = (
         decoder.sem_label(sem_params, feat)
         if with_sem
-        else jnp.zeros((coords.shape[0],), jnp.int32)
+        else jnp.zeros((0,), jnp.int32)
     )
     return sdf, sem, mask
 
@@ -123,6 +126,101 @@ def _infer_chunks_grid(
                            time_conditioned, with_sem)
 
     return jax.lax.map(one, jnp.arange(K, dtype=jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "K", "npb", "vpn", "query_level", "levels", "poly_on", "check_level",
+    "time_conditioned", "with_sem"))
+def _infer_node_blocks_lattice(
+    geo_params, sem_params, features, tables, origins_chunks, step,
+    ts_value, K: int, npb: int, vpn: int, query_level: int,
+    levels: Tuple[int, ...], poly_on: bool, check_level: int,
+    time_conditioned: bool, with_sem: bool,
+):
+    """Node-lattice twin of ``_infer_node_blocks`` — the speed-of-light
+    formulation of octree-tiled SDF inference.
+
+    The direct path pays one hash probe + 8 corner-row gathers PER POINT
+    per level (~90 ms per 131k-point chunk; gathers are row-count-bound,
+    BENCH_NOTES round 3).  But a query block is one ``query_level`` node,
+    and the finer levels nest exactly inside it: level ``l`` contributes a
+    static ``n = 2^(l - query_level)`` per-axis lattice of nodes (n = 1
+    for coarser levels).  So per block it suffices to look up the n^3
+    LATTICE cells (73 probes per block instead of 3 x 4096) and gather
+    THEIR corner rows; each point then selects its node's 8 corner
+    features with an exact one-hot f32 matmul on the MXU (one nonzero per
+    row -> bit-exact selection) and interpolates as usual.  Point->cell
+    indices come from the same ``quantize_points`` as the direct path, so
+    node assignment (and therefore the result) is identical.
+    """
+    from .ops.hashgrid import lookup_level_cells
+    from .ops.interp import corner_weights
+    from .ops.morton import quantize_points
+
+    block = vpn ** 3
+    feat_dims = tuple(f.shape[1] for f in features)
+
+    def one(origins_k):  # (npb, 3) scaled-space block origins
+        idx = jax.lax.iota(jnp.int32, npb * block)
+        node = idx // block
+        w_ = idx % block
+        ix = w_ // (vpn * vpn)
+        rem = w_ % (vpn * vpn)
+        off = jnp.stack([ix, rem // vpn, rem % vpn], axis=1)
+        coord = origins_k[node] + off.astype(jnp.float32) * step
+
+        feat = None
+        found_pts = []
+        for i, lvl in enumerate(levels):
+            n = 1 << max(0, lvl - query_level)
+            n3 = n ** 3
+            # lattice cells: the block origin's cell + the static offsets
+            q0 = quantize_points(origins_k, lvl).astype(jnp.int32)  # (npb,3)
+            lat = jax.lax.iota(jnp.int32, n3)
+            lat_off = jnp.stack(
+                [lat // (n * n), (lat // n) % n, lat % n], axis=1)
+            cells = (q0[:, None, :] + lat_off[None, :, :]).astype(jnp.uint32)
+            corners, found_l = lookup_level_cells(tables[i], cells)
+            F = features[i][corners]  # (npb, n3, 8, D) — tiny gather
+            # point -> lattice index via the SAME quantization as the
+            # direct path (exact node-assignment parity)
+            qp = quantize_points(coord, lvl).astype(jnp.int32)
+            a = qp.reshape(npb, block, 3) - q0[:, None, :]
+            inrange = jnp.all((a >= 0) & (a < n), axis=-1)
+            flat = (a[..., 0] * n + a[..., 1]) * n + a[..., 2]
+            flat = jnp.clip(flat, 0, n3 - 1)
+            onehot = (flat[:, :, None] == lat[None, None, :]).astype(
+                jnp.float32)  # (npb, block, n3)
+            # exact selection on the MXU: one nonzero per onehot row
+            Fx = jnp.einsum(
+                "bpn,bnx->bpx", onehot, F.reshape(npb, n3, 8 * feat_dims[i]),
+                preferred_element_type=jnp.float32,
+            ).reshape(npb, block, 8, feat_dims[i])
+            found_p = (
+                jnp.einsum("bpn,bn->bp", onehot,
+                           found_l.astype(jnp.float32)) > 0.5
+            ) & inrange
+            w8 = corner_weights(coord, lvl, poly_on).reshape(npb, block, 8)
+            w8 = jnp.where(found_p[..., None], w8, 0.0)
+            fi = jnp.einsum("bpc,bpcd->bpd", w8, Fx)
+            feat = fi if feat is None else feat + fi
+            found_pts.append(found_p)
+
+        feat = feat.reshape(npb * block, -1)
+        ts = jnp.full((npb * block,), ts_value, jnp.float32)
+        if time_conditioned:
+            sdf = -decoder.time_conditioned_sdf(geo_params, feat, ts)
+        else:
+            sdf = -decoder.sdf(geo_params, feat)
+        mask = found_pts[check_level].reshape(-1)
+        sem = (
+            decoder.sem_label(sem_params, feat)
+            if with_sem
+            else jnp.zeros((0,), jnp.int32)  # see _infer_core
+        )
+        return sdf, sem, mask
+
+    return jax.lax.map(one, origins_chunks)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -503,10 +601,22 @@ class Mesher:
 
         # ONE dispatch covers ALL node blocks: node origins upload once and
         # each lax.map step generates nodes_per_batch blocks' coordinates on
-        # device (_infer_node_blocks) — no host meshgrid, no per-batch round
-        # trips (the reference queries per node, utils/mesher.py:326-336)
+        # device — no host meshgrid, no per-batch round trips (the
+        # reference queries per node, utils/mesher.py:326-336).  Inference
+        # uses the node-LATTICE formulation (_infer_node_blocks_lattice):
+        # per block, only the nested fine-node lattice is probed and its
+        # corner rows gathered; points select their node's features with an
+        # exact one-hot MXU matmul — bit-identical to the per-point path
+        # at a tiny fraction of its (row-count-bound) gather cost.
         block = vox_per_node ** 3
-        nodes_per_batch = max(1, self.config.infer_bs // block)
+        query_level = int(query_level)
+        n_max = max(
+            1 << max(0, lvl - query_level) for lvl in self.grid.levels
+        )
+        # cap the (npb, block, n^3) one-hot working set at ~128 MB
+        onehot_cap = max(1, (128 << 20) // (block * n_max ** 3 * 4))
+        nodes_per_batch = max(1, min(self.config.infer_bs // block,
+                                     onehot_cap))
         box = (vox_per_node,) * 3
         n_nodes = nodes.shape[0]
         K = _bucket_chunks(math.ceil(n_nodes / nodes_per_batch))
@@ -518,12 +628,12 @@ class Mesher:
                 [origins, np.full((pad, 3), 3.0, np.float32)], axis=0)
         check_level = min(self.grid.featured_level_num,
                           self.config.mc_vis_level) - 1
-        sdf_pred, _, mc_mask = _infer_node_blocks(
+        sdf_pred, _, mc_mask = _infer_node_blocks_lattice(
             self.geo_params, self.geo_params,
             tuple(self.grid.features), tuple(self.grid.tables),
             jnp.asarray(origins.reshape(K, nodes_per_batch, 3)),
             jnp.float32(mc_res_scaled), jnp.float32(self.ts),
-            K, nodes_per_batch, vox_per_node,
+            K, nodes_per_batch, vox_per_node, query_level,
             tuple(self.grid.levels), self.grid.polynomial_interpolation,
             check_level, self.config.time_conditioned, False,
         )

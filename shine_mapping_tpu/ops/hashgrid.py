@@ -131,6 +131,17 @@ def lookup_level(
     (model/feature_octree.py:199-218) without the per-iteration host sync.
     """
     q = quantize_points(coords, level).astype(jnp.uint32)
+    return lookup_level_cells(table, q)
+
+
+def lookup_level_cells(
+    table: LevelTable, q: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`lookup_level` on pre-quantized integer node cells ``q``
+    (..., 3) uint32 — callers that derive cells arithmetically (the
+    mesher's node-lattice inference) skip the float quantization."""
+    lead = q.shape[:-1]
+    q = q.reshape(-1, 3)
     S = table.keys.shape[0]
     mask = jnp.uint32(S - 1)
     qa = (q[:, 0] << jnp.uint32(16)) | q[:, 1]
@@ -146,7 +157,7 @@ def lookup_level(
     found = jnp.any(hit, axis=1)
     slot = jnp.take_along_axis(win, jnp.argmax(hit, axis=1)[:, None], axis=1)[:, 0]
     corners = table.corner_idx[slot]  # (N, 8) — trashbin rows when not found
-    return corners, found
+    return corners.reshape(lead + (8,)), found.reshape(lead)
 
 
 # --------------------------------------------------------------------------

@@ -148,3 +148,42 @@ def test_query_grid_matches_host_grid(sphere_setup):
     n = sdf_h.shape[0]
     assert mask_mism <= n // 10000, mask_mism
     assert sdf_mism <= n // 10000, sdf_mism
+
+
+def test_lattice_block_inference_matches_direct(sphere_setup):
+    """_infer_node_blocks_lattice (per-block node lattice + one-hot MXU
+    selection) must reproduce the per-point path exactly — same
+    quantization, exact one-hot selection, same interpolation sums."""
+    import jax.numpy as jnp
+    import math
+    from shine_mapping_tpu.mesher import (
+        _infer_node_blocks, _infer_node_blocks_lattice, _bucket_chunks)
+
+    cfg, grid, geo, surf = sphere_setup
+    query_level = cfg.tree_level_world - cfg.tree_level_feat + 1
+    nodes = grid.get_octree_nodes(query_level)
+    assert nodes.shape[0] > 0
+    node_res = 2.0 ** (1 - query_level)
+    for vpn in (2, 4, 5):  # incl. vpn < n (coarse mc_res) and odd sizes
+        mc_res_scaled = node_res / vpn
+        npb = 4
+        K = _bucket_chunks(math.ceil(nodes.shape[0] / npb))
+        origins = (nodes - 0.5 * (node_res - mc_res_scaled)).astype(np.float32)
+        pad = K * npb - nodes.shape[0]
+        if pad:
+            origins = np.concatenate(
+                [origins, np.full((pad, 3), 3.0, np.float32)], axis=0)
+        args = (
+            geo, geo, tuple(grid.features), tuple(grid.tables),
+            jnp.asarray(origins.reshape(K, npb, 3)),
+            jnp.float32(mc_res_scaled), jnp.float32(0.0),
+        )
+        tail = (tuple(grid.levels), grid.polynomial_interpolation, 0,
+                False, False)
+        sdf_d, _, mask_d = _infer_node_blocks(*args, K, npb, vpn, *tail)
+        sdf_l, _, mask_l = _infer_node_blocks_lattice(
+            *args, K, npb, vpn, query_level, *tail)
+        np.testing.assert_array_equal(np.asarray(mask_d), np.asarray(mask_l))
+        np.testing.assert_allclose(
+            np.asarray(sdf_d), np.asarray(sdf_l), rtol=0, atol=2e-6)
+        assert np.asarray(mask_d).any()
