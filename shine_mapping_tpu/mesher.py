@@ -128,6 +128,121 @@ def _infer_chunks_grid(
     return jax.lax.map(one, jnp.arange(K, dtype=jnp.int32))
 
 
+def _lattice_core(features, tables, coord, origins_k, npb: int, block: int,
+                  levels, n_list, poly_on: bool):
+    """Shared lattice inference: interpolated features for ``coord``
+    (npb*block, 3) where each of the ``npb`` blocks' points lie within a
+    small static node lattice anchored at the block's first point.
+
+    Per level ``i`` the lattice is ``n_list[i]`` cells per axis starting at
+    ``quantize(origins_k, level)``; callers guarantee every block point's
+    cell falls inside it (node-aligned blocks: exact nesting; index-space
+    blocks: n = floor(extent/cell) + 2).  Probes and corner gathers happen
+    per LATTICE CELL (not per point); points select their cell's corner
+    features with an exact one-hot f32 MXU matmul (one nonzero per row).
+    Returns (feat (npb*block, D), found-per-point list per level).
+    """
+    from .ops.hashgrid import lookup_level_cells
+    from .ops.interp import corner_weights
+    from .ops.morton import quantize_points
+
+    feat_dims = tuple(f.shape[1] for f in features)
+    feat = None
+    found_pts = []
+    for i, lvl in enumerate(levels):
+        n = n_list[i]
+        n3 = n ** 3
+        # lattice cells: the block origin's cell + the static offsets
+        q0 = quantize_points(origins_k, lvl).astype(jnp.int32)  # (npb, 3)
+        lat = jax.lax.iota(jnp.int32, n3)
+        lat_off = jnp.stack(
+            [lat // (n * n), (lat // n) % n, lat % n], axis=1)
+        cells = (q0[:, None, :] + lat_off[None, :, :]).astype(jnp.uint32)
+        corners, found_l = lookup_level_cells(tables[i], cells)
+        F = features[i][corners]  # (npb, n3, 8, D) — tiny gather
+        # point -> lattice index via the SAME quantization as the
+        # direct path (exact node-assignment parity)
+        qp = quantize_points(coord, lvl).astype(jnp.int32)
+        a = qp.reshape(npb, block, 3) - q0[:, None, :]
+        inrange = jnp.all((a >= 0) & (a < n), axis=-1)
+        flat = (a[..., 0] * n + a[..., 1]) * n + a[..., 2]
+        flat = jnp.clip(flat, 0, n3 - 1)
+        onehot = (flat[:, :, None] == lat[None, None, :]).astype(
+            jnp.float32)  # (npb, block, n3)
+        # exact selection on the MXU: one nonzero per onehot row
+        Fx = jnp.einsum(
+            "bpn,bnx->bpx", onehot, F.reshape(npb, n3, 8 * feat_dims[i]),
+            preferred_element_type=jnp.float32,
+        ).reshape(npb, block, 8, feat_dims[i])
+        found_p = (
+            jnp.einsum("bpn,bn->bp", onehot,
+                       found_l.astype(jnp.float32)) > 0.5
+        ) & inrange
+        w8 = corner_weights(coord, lvl, poly_on).reshape(npb, block, 8)
+        w8 = jnp.where(found_p[..., None], w8, 0.0)
+        fi = jnp.einsum("bpc,bpcd->bpd", w8, Fx)
+        feat = fi if feat is None else feat + fi
+        found_pts.append(found_p.reshape(-1))
+    return feat.reshape(npb * block, -1), found_pts
+
+
+def _decode_lattice(geo_params, sem_params, feat, found_pts, n_pts: int,
+                    ts_value, check_level: int, time_conditioned: bool,
+                    with_sem: bool):
+    ts = jnp.full((n_pts,), ts_value, jnp.float32)
+    if time_conditioned:
+        sdf = -decoder.time_conditioned_sdf(geo_params, feat, ts)
+    else:
+        sdf = -decoder.sdf(geo_params, feat)
+    mask = found_pts[check_level]
+    sem = (
+        decoder.sem_label(sem_params, feat)
+        if with_sem
+        else jnp.zeros((0,), jnp.int32)  # see _infer_core
+    )
+    return sdf, sem, mask
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "K", "npb", "vb", "n_list", "levels", "poly_on", "check_level",
+    "time_conditioned", "with_sem"))
+def _infer_grid_blocks_lattice(
+    geo_params, sem_params, features, tables, origin_s, step, nby, nbz,
+    ts_value, K: int, npb: int, vb: int, n_list: Tuple[int, ...],
+    levels: Tuple[int, ...], poly_on: bool, check_level: int,
+    time_conditioned: bool, with_sem: bool,
+):
+    """Dense-grid twin of ``_infer_node_blocks_lattice``: the (nx, ny, nz)
+    voxel grid is cut into index-space blocks of vb^3 voxels (the grid is
+    NOT node-aligned, so ``n_list`` carries per-level lattice sizes
+    floor(extent/cell) + 2 computed host-side from the voxel step).
+    Output is BLOCK-major: (K, npb*vb^3); the caller reassembles the 3D
+    grid with one transpose."""
+    block = vb ** 3
+
+    def one(k):
+        bi = k * npb + jax.lax.iota(jnp.int32, npb)
+        bx = bi // (nby * nbz)
+        rem = bi % (nby * nbz)
+        byz = jnp.stack([bx, rem // nbz, rem % nbz], axis=1)
+        origins_k = origin_s[None, :] + byz.astype(jnp.float32) * (vb * step)
+        idx = jax.lax.iota(jnp.int32, npb * block)
+        node = idx // block
+        w_ = idx % block
+        ix = w_ // (vb * vb)
+        rem2 = w_ % (vb * vb)
+        off = jnp.stack([ix, rem2 // vb, rem2 % vb], axis=1)
+        coord = origins_k[node] + off.astype(jnp.float32) * step
+        feat, found_pts = _lattice_core(
+            features, tables, coord, origins_k, npb, block, levels,
+            n_list, poly_on)
+        return _decode_lattice(
+            geo_params, sem_params, feat, found_pts, npb * block, ts_value,
+            check_level, time_conditioned, with_sem)
+
+    return jax.lax.map(one, jnp.arange(K, dtype=jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "K", "npb", "vpn", "query_level", "levels", "poly_on", "check_level",
     "time_conditioned", "with_sem"))
@@ -154,11 +269,8 @@ def _infer_node_blocks_lattice(
     node assignment (and therefore the result) is identical.
     """
     from .ops.hashgrid import lookup_level_cells
-    from .ops.interp import corner_weights
-    from .ops.morton import quantize_points
-
     block = vpn ** 3
-    feat_dims = tuple(f.shape[1] for f in features)
+    n_list = tuple(1 << max(0, lvl - query_level) for lvl in levels)
 
     def one(origins_k):  # (npb, 3) scaled-space block origins
         idx = jax.lax.iota(jnp.int32, npb * block)
@@ -168,57 +280,12 @@ def _infer_node_blocks_lattice(
         rem = w_ % (vpn * vpn)
         off = jnp.stack([ix, rem // vpn, rem % vpn], axis=1)
         coord = origins_k[node] + off.astype(jnp.float32) * step
-
-        feat = None
-        found_pts = []
-        for i, lvl in enumerate(levels):
-            n = 1 << max(0, lvl - query_level)
-            n3 = n ** 3
-            # lattice cells: the block origin's cell + the static offsets
-            q0 = quantize_points(origins_k, lvl).astype(jnp.int32)  # (npb,3)
-            lat = jax.lax.iota(jnp.int32, n3)
-            lat_off = jnp.stack(
-                [lat // (n * n), (lat // n) % n, lat % n], axis=1)
-            cells = (q0[:, None, :] + lat_off[None, :, :]).astype(jnp.uint32)
-            corners, found_l = lookup_level_cells(tables[i], cells)
-            F = features[i][corners]  # (npb, n3, 8, D) — tiny gather
-            # point -> lattice index via the SAME quantization as the
-            # direct path (exact node-assignment parity)
-            qp = quantize_points(coord, lvl).astype(jnp.int32)
-            a = qp.reshape(npb, block, 3) - q0[:, None, :]
-            inrange = jnp.all((a >= 0) & (a < n), axis=-1)
-            flat = (a[..., 0] * n + a[..., 1]) * n + a[..., 2]
-            flat = jnp.clip(flat, 0, n3 - 1)
-            onehot = (flat[:, :, None] == lat[None, None, :]).astype(
-                jnp.float32)  # (npb, block, n3)
-            # exact selection on the MXU: one nonzero per onehot row
-            Fx = jnp.einsum(
-                "bpn,bnx->bpx", onehot, F.reshape(npb, n3, 8 * feat_dims[i]),
-                preferred_element_type=jnp.float32,
-            ).reshape(npb, block, 8, feat_dims[i])
-            found_p = (
-                jnp.einsum("bpn,bn->bp", onehot,
-                           found_l.astype(jnp.float32)) > 0.5
-            ) & inrange
-            w8 = corner_weights(coord, lvl, poly_on).reshape(npb, block, 8)
-            w8 = jnp.where(found_p[..., None], w8, 0.0)
-            fi = jnp.einsum("bpc,bpcd->bpd", w8, Fx)
-            feat = fi if feat is None else feat + fi
-            found_pts.append(found_p)
-
-        feat = feat.reshape(npb * block, -1)
-        ts = jnp.full((npb * block,), ts_value, jnp.float32)
-        if time_conditioned:
-            sdf = -decoder.time_conditioned_sdf(geo_params, feat, ts)
-        else:
-            sdf = -decoder.sdf(geo_params, feat)
-        mask = found_pts[check_level].reshape(-1)
-        sem = (
-            decoder.sem_label(sem_params, feat)
-            if with_sem
-            else jnp.zeros((0,), jnp.int32)  # see _infer_core
-        )
-        return sdf, sem, mask
+        feat, found_pts = _lattice_core(
+            features, tables, coord, origins_k, npb, block, levels,
+            n_list, poly_on)
+        return _decode_lattice(
+            geo_params, sem_params, feat, found_pts, npb * block, ts_value,
+            check_level, time_conditioned, with_sem)
 
     return jax.lax.map(one, origins_chunks)
 
@@ -411,6 +478,58 @@ class Mesher:
         mask_out = np.asarray(mask).reshape(-1)[:n] if query_mask else None
         return sdf_out, sem_out, mask_out
 
+    def query_grid_lattice(self, voxel_num_xyz, voxel_origin,
+                           voxel_size: float, query_sem: bool = False):
+        """Dense-grid inference via index-space blocks + node lattices
+        (:func:`_infer_grid_blocks_lattice`): probes and corner gathers
+        happen per block lattice cell instead of per point — the dense
+        twin of the octree path's 23x lattice speedup.  The grid is not
+        node-aligned, so per-level lattice sizes are
+        floor(block_extent/cell) + 2.  Returns 3D (nx, ny, nz) arrays
+        (sdf f32, sem or None, mask bool)."""
+        vb = 8
+        step = voxel_size * self.world_scale
+        n_list = tuple(
+            int((vb - 1) * step / (2.0 ** (1 - lvl))) + 2
+            for lvl in self.grid.levels
+        )
+        n_max = max(n_list)
+        block = vb ** 3
+        onehot_cap = max(1, (128 << 20) // (block * n_max ** 3 * 4))
+        npb = max(1, min(self.config.infer_bs // block, onehot_cap))
+        nbx, nby, nbz = (int(-(int(v) // -vb)) for v in voxel_num_xyz)
+        NB = nbx * nby * nbz
+        K = _bucket_chunks(math.ceil(NB / npb))
+        check_level = min(self.grid.featured_level_num,
+                          self.config.mc_vis_level) - 1
+        origin_s = jnp.asarray(
+            np.asarray(voxel_origin, np.float64) * self.world_scale,
+            jnp.float32,
+        )
+        sdf, sem, mask = _infer_grid_blocks_lattice(
+            self.geo_params,
+            self.sem_params if query_sem else self.geo_params,
+            tuple(self.grid.features), tuple(self.grid.tables),
+            origin_s, jnp.float32(step), jnp.int32(nby), jnp.int32(nbz),
+            jnp.float32(self.ts), K, npb, vb, n_list,
+            tuple(self.grid.levels), self.grid.polynomial_interpolation,
+            check_level, self.config.time_conditioned, query_sem,
+        )
+        nx, ny, nz = (int(v) for v in voxel_num_xyz)
+
+        def assemble(x):
+            a = np.asarray(x).reshape(-1)[: NB * block]
+            a = a.reshape(nbx, nby, nbz, vb, vb, vb)
+            a = a.transpose(0, 3, 1, 4, 2, 5).reshape(
+                nbx * vb, nby * vb, nbz * vb)
+            return a[:nx, :ny, :nz]
+
+        return (
+            assemble(sdf),
+            assemble(sem) if query_sem else None,
+            assemble(mask),
+        )
+
     # ------------------------------------------------------------------ grids
     def grid_shape_from_bbx(self, bbx, voxel_size: float):
         """(voxel_num_xyz, voxel_origin) for a world-space bbx — the grid
@@ -552,9 +671,14 @@ class Mesher:
         else:
             voxel_num_xyz, voxel_origin = self.grid_shape_from_bbx(
                 bbx, voxel_size)
-            sdf_pred, _, mc_mask = self.query_grid(
-                voxel_num_xyz, voxel_origin, voxel_size, True, False,
-                self.config.mc_mask_on,
+            mc_sdf, _, mc_mask3 = self.query_grid_lattice(
+                voxel_num_xyz, voxel_origin, voxel_size,
+            )
+            verts, faces = self.mc_mesh(
+                mc_sdf, mc_mask3, voxel_size, voxel_origin)
+            return self._finalize_mesh(
+                verts, faces, mesh_path, estimate_sem, estimate_normal,
+                filter_isolated_mesh, filter_free_space_vertices,
             )
         mc_sdf, _, mc_mask3 = self.assign_to_bbx(sdf_pred, None, mc_mask, voxel_num_xyz)
         verts, faces = self.mc_mesh(mc_sdf, mc_mask3, voxel_size, voxel_origin)

@@ -187,3 +187,20 @@ def test_lattice_block_inference_matches_direct(sphere_setup):
         np.testing.assert_allclose(
             np.asarray(sdf_d), np.asarray(sdf_l), rtol=0, atol=2e-6)
         assert np.asarray(mask_d).any()
+
+
+def test_query_grid_lattice_matches_query_grid(sphere_setup):
+    """The dense-grid lattice path (index-space blocks + node lattices)
+    must reproduce the flat per-point grid query."""
+    cfg, grid, geo, _ = sphere_setup
+    cfg.infer_bs = 4096
+    mesher = Mesher(cfg, grid, geo)
+    bbx = (np.array([-0.8, -0.8, -0.8]), np.array([0.75, 0.8, 0.77]))
+    vs = 0.07
+    vnum, vorig = mesher.grid_shape_from_bbx(bbx, vs)
+    sdf_f, _, mask_f = mesher.query_grid(vnum, vorig, vs, True, False, True)
+    sdf3, _, mask3 = mesher.assign_to_bbx(sdf_f, None, mask_f, vnum)
+    sdf_l, _, mask_l = mesher.query_grid_lattice(vnum, vorig, vs)
+    np.testing.assert_array_equal(mask3, mask_l)
+    np.testing.assert_allclose(sdf3, sdf_l, atol=2e-6)
+    assert mask_l.any()
