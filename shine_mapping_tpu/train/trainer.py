@@ -1491,6 +1491,11 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
         reps = -((W * s.bs) // -n_valid)
         perm = jnp.tile(perm, reps)
     win_idx = perm[: W * s.bs].reshape(W, s.bs).astype(jnp.int32)
+    if s.sort_batch:
+        # same window contents as precompute_batch_windows under
+        # sort_batch (order-invariant loss; keeps the two layouts'
+        # batches identical for equivalence tests)
+        win_idx = jnp.sort(win_idx, axis=1)
 
     stack_fields = [
         f for f in ("coord", "sdf_label", "weight", "time", "normal_label",
