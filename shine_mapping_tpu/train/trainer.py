@@ -1476,6 +1476,12 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
     s = settings
     L = len(s.levels)
     feat_dims = tuple(sh[1] for sh in feat_shapes)
+    if len(set(feat_dims)) != 1:
+        # _feat_winx's lane grouping and the fused table's packed-row
+        # arithmetic assume one feature dim across levels (always true for
+        # reference configs — one cfg.feature_dim)
+        raise ValueError(f"fused windows need a uniform feature dim, got "
+                         f"{feat_dims}")
     # K: static, bucketed to a power of two to bound executable count as
     # the map grows (incremental use); 8 = no dedup, degrades gracefully
     k_raw = max_unique_prows(pre_lookups, feat_dims)
