@@ -658,8 +658,8 @@ class Mesher:
         filter_free_space_vertices: bool = True,
     ) -> io.TriangleMesh:
         """Dense bounding-box reconstruction (utils/mesher.py:253-290)."""
-        if save_map or self.dp_mesh is not None:
-            # host coords needed (sdf-map export) / dp_mesh batch sharding
+        if self.dp_mesh is not None:
+            # dp_mesh batch sharding needs the explicit host-coord path
             coord, voxel_num_xyz, voxel_origin = self.get_query_from_bbx(
                 bbx, voxel_size)
             sdf_pred, _, mc_mask = self.query_points(
@@ -668,19 +668,21 @@ class Mesher:
             )
             if save_map:
                 self.generate_sdf_map(coord, sdf_pred, mc_mask, map_path)
+            mc_sdf, _, mc_mask3 = self.assign_to_bbx(
+                sdf_pred, None, mc_mask, voxel_num_xyz)
         else:
             voxel_num_xyz, voxel_origin = self.grid_shape_from_bbx(
                 bbx, voxel_size)
             mc_sdf, _, mc_mask3 = self.query_grid_lattice(
                 voxel_num_xyz, voxel_origin, voxel_size,
             )
-            verts, faces = self.mc_mesh(
-                mc_sdf, mc_mask3, voxel_size, voxel_origin)
-            return self._finalize_mesh(
-                verts, faces, mesh_path, estimate_sem, estimate_normal,
-                filter_isolated_mesh, filter_free_space_vertices,
-            )
-        mc_sdf, _, mc_mask3 = self.assign_to_bbx(sdf_pred, None, mc_mask, voxel_num_xyz)
+            if save_map:
+                # grid coords derive from indices; flatten in grid order to
+                # match the 3D query outputs (get_query_from_bbx layout)
+                coord, _, _ = self.get_query_from_bbx(bbx, voxel_size)
+                self.generate_sdf_map(
+                    coord, mc_sdf.reshape(-1).astype(np.float64),
+                    mc_mask3.reshape(-1), map_path)
         verts, faces = self.mc_mesh(mc_sdf, mc_mask3, voxel_size, voxel_origin)
         return self._finalize_mesh(
             verts, faces, mesh_path, estimate_sem, estimate_normal,

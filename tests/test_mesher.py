@@ -204,3 +204,25 @@ def test_query_grid_lattice_matches_query_grid(sphere_setup):
     np.testing.assert_array_equal(mask3, mask_l)
     np.testing.assert_allclose(sdf3, sdf_l, atol=2e-6)
     assert mask_l.any()
+
+
+def test_recon_bbx_save_map_via_lattice(sphere_setup, tmp_path):
+    """save_map through the lattice dense path: the exported sdf-map cloud
+    must carry one point per OBSERVED voxel with finite sdf intensities in
+    grid order (the flattened 3D query matches get_query_from_bbx)."""
+    cfg, grid, geo, _ = sphere_setup
+    cfg.infer_bs = 4096
+    cfg.mc_mask_on = True
+    mesher = Mesher(cfg, grid, geo)
+    bbx = (np.array([-0.7, -0.7, -0.7]), np.array([0.7, 0.7, 0.7]))
+    mesh_path = str(tmp_path / "m.ply")
+    map_path = str(tmp_path / "sdf.ply")
+    mesher.recon_bbx_mesh(bbx, 0.1, mesh_path, map_path, save_map=True,
+                          estimate_normal=False, filter_isolated_mesh=False)
+    pc = io.read_point_cloud(map_path)
+    assert pc.points.shape[0] > 50
+    assert np.isfinite(pc.intensity).all()
+    # every exported point is an observed voxel center
+    vnum, vorig = mesher.grid_shape_from_bbx(bbx, 0.1)
+    _, _, mask3 = mesher.query_grid_lattice(vnum, vorig, 0.1)
+    assert pc.points.shape[0] == int(mask3.sum())
