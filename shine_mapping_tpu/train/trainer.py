@@ -677,6 +677,17 @@ def train_chunk(
                 "entry gradients cannot ride the narrow DP all-gather); "
                 "use precompute_batch_windows for data-parallel runs"
             )
+    if mode == "pallas" and batch_sharding is not None:
+        # the pallas kernel runs REPLICATED inside a shard_map island —
+        # row-sharded (giant-map) tables would be silently all-gathered
+        # into every chip each iteration.  Those maps use fused/sparse
+        # (GSPMD partitions their scatter+sweep across the row shards).
+        sh = getattr(params["features"][0], "sharding", None)
+        if sh is not None and not sh.is_fully_replicated:
+            raise ValueError(
+                "feature_update 'pallas' needs replicated feature tables; "
+                "with tpu.table_sharding: rows use 'fused' or 'sparse'"
+            )
     if opt_state.m["features"][0].dtype == jnp.bfloat16 and mode != "pallas":
         # only the pallas update (and its fallbacks) preserves the bf16
         # moment carry; the other formulations would promote it to f32 and

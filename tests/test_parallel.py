@@ -216,3 +216,30 @@ def test_graft_entry_compiles():
     fn, args = m.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >1 virtual device")
+def test_pallas_update_rejects_row_sharded_tables():
+    """feature_update 'pallas' + table_sharding 'rows' would all-gather the
+    giant tables into the replicated kernel island every iteration — the
+    trainer must reject the combination with a clear message."""
+    from shine_mapping_tpu.parallel import mesh as pmesh
+    from tests.test_trainer import build, default_cfg, make_sphere_pool
+
+    pool, surf = make_sphere_pool(800, seed=3)
+    cfg = default_cfg(bs=256)
+    grid, settings, params, opt_state, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="pallas"
+    )
+    dp_mesh = pmesh.make_data_mesh(2)
+    shadow = trainer.empty_shadow(params["features"])
+    params, opt_state, tables, dev_pool, shadow = pmesh.place_training_state(
+        dp_mesh, params, opt_state, tuple(grid.tables), dev_pool, shadow,
+        table_sharding="rows",
+    )
+    with pytest.raises(ValueError, match="replicated feature tables"):
+        trainer.train_chunk(
+            params, opt_state, tables, dev_pool, shadow,
+            n_valid, jnp.int32(0), jax.random.PRNGKey(0), settings, 2,
+            batch_sharding=pmesh.batch_sharded(dp_mesh),
+        )
