@@ -148,8 +148,13 @@ def main() -> None:
         windows = mode.endswith("_win")
         # "..._winx" = fused-gather window layout (K-deduplicated packed
         # rows, batch content stacked per window, ONE gather + ONE
-        # multi-level kernel dispatch per iteration — trainer.body_winx)
-        winx = mode.endswith("_winx")
+        # multi-level kernel dispatch per iteration — trainer.body_winx);
+        # "..._winxp" additionally stores the TABLES bf16 with a
+        # stochastic-rounding update (tpu.params_bf16 — half map memory,
+        # half sweep parameter traffic)
+        winxp = mode.endswith("_winxp")
+        winx = mode.endswith("_winx") or winxp
+        bf16m = bf16m or winxp
         settings = trainer.TrainSettings.from_config(
             cfg, grid.levels,
             feature_update="pallas" if (bf16m or windows or winx) else mode,
@@ -159,6 +164,9 @@ def main() -> None:
         # train_chunk donates params; keep grid.features intact for the
         # other variant by copying
         params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+        if winxp:
+            params = dict(params, features=tuple(
+                f.astype(jnp.bfloat16) for f in params["features"]))
         opt_state = init_opt_state(params, moments_bf16=bf16m)
         shadow = trainer.empty_shadow(params["features"])
         batch_windows = None
@@ -211,7 +219,7 @@ def main() -> None:
     # size, sparse for giant maps.  SHINE_BENCH_MODES=pallas,... restricts
     # the sweep (set per-child by the orchestrator; also the dev loop knob).
     modes = os.environ.get("SHINE_BENCH_MODES",
-                           "pallas,pallas_bf16m,pallas_bf16m_win,pallas_bf16m_winx,fused,sparse")
+                           "pallas,pallas_bf16m,pallas_bf16m_win,pallas_bf16m_winx,pallas_bf16m_winxp,fused,sparse")
     chunk_t = min(run_variant(m) for m in modes.split(","))
 
     pts_per_s = n_iters * cfg.bs / chunk_t
@@ -230,8 +238,8 @@ def main() -> None:
 # known-best order: if a later mode wedges the tunnel, the best candidates
 # have already banked their results
 ORCHESTRATED_MODES = (
-    "pallas_bf16m_winx", "pallas_bf16m_win", "pallas_bf16m", "pallas",
-    "fused", "sparse",
+    "pallas_bf16m_winxp", "pallas_bf16m_winx", "pallas_bf16m_win",
+    "pallas_bf16m", "pallas", "fused", "sparse",
 )
 
 

@@ -155,7 +155,15 @@ def device_local(tree):
 
 
 def sync_features_to_grid(grid: HashGridHost, params) -> None:
-    grid.features = list(device_local(params["features"]))
+    import jax.numpy as jnp
+
+    # bf16 map mode (tpu.params_bf16): the host mirror stays f32 so growth,
+    # checkpointing (npz) and meshing see a plain-float table (bf16 -> f32
+    # is exact; casting back on upload round-trips bit-identically)
+    grid.features = [
+        f.astype(jnp.float32) if f.dtype == jnp.bfloat16 else f
+        for f in device_local(params["features"])
+    ]
 
 
 def refresh_params_features(grid: HashGridHost, params):

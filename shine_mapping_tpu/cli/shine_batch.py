@@ -182,6 +182,21 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         print("tpu.batch_windows requested but prerequisites unmet "
               "(needs the pallas update, point loss, no consistency, "
               "precompute_lookups) — falling back to iid batches")
+    # bf16 map mode: tables stored bfloat16, stochastic-rounding update
+    use_params_bf16 = (
+        cfg.params_bf16 and use_windows and cfg.windows_fused
+        and batch_sharding is None and not resume
+        and opt_state.m["features"][0].dtype == jnp.bfloat16
+    )
+    if cfg.params_bf16 and not use_params_bf16:
+        print("tpu.params_bf16 requested but prerequisites unmet (needs "
+              "batch_windows + windows_fused on a single chip, "
+              "moments_bf16, fresh start) — keeping f32 tables")
+    if use_params_bf16:
+        params = dict(params, features=tuple(
+            f.astype(jnp.bfloat16) for f in params["features"]))
+        print("bf16 map mode: feature tables stored bfloat16 "
+              "(stochastic-rounding Adam; half map memory)")
 
     def make_pre():
         if not cfg.precompute_lookups:

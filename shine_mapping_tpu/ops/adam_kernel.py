@@ -152,9 +152,9 @@ def _pallas_update(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
 # (experiments/exp_pallas_trainer.py: kernel 1.85 ms, +prep+cond 2.69).
 
 
-def _kernel_multi(offs_ref, scal_ref, lvl_ref, rowmap_ref, p_ref, m_ref,
-                  v_ref, prow0_ref, prow1_ref, *g_refs, tb: int, w: int,
-                  b1: float, b2: float, eps: float):
+def _kernel_multi(offs_ref, scal_ref, lvl_ref, rowmap_ref, seed_ref, p_ref,
+                  m_ref, v_ref, prow0_ref, prow1_ref, *g_refs, tb: int,
+                  w: int, b1: float, b2: float, eps: float):
     po_ref, mo_ref, vo_ref = g_refs[-3:]
     g_refs = g_refs[:-3]
     t = pl.program_id(0)
@@ -183,29 +183,43 @@ def _kernel_multi(offs_ref, scal_ref, lvl_ref, rowmap_ref, p_ref, m_ref,
         )
     m_new = b1 * m_ref[:].astype(jnp.float32) + (1.0 - b1) * gtile
     v_new = b2 * v_ref[:].astype(jnp.float32) + (1.0 - b2) * gtile * gtile
-    po_ref[:] = p_ref[:] - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
+    p_new = (p_ref[:].astype(jnp.float32)
+             - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps))
+    if po_ref.dtype == jnp.bfloat16:
+        # bf16 table mode (tpu.params_bf16): write the parameters back with
+        # STOCHASTIC rounding — nearest-rounding would swallow every update
+        # smaller than the bf16 quantum (~0.4% relative) and stall training;
+        # SR keeps the expected parameter exact.  Seed varies per (step,
+        # tile) so rounding noise never correlates across iterations.
+        pltpu.prng_seed(seed_ref[0] + t)
+        rbits = pltpu.bitcast(
+            pltpu.prng_random_bits(p_new.shape), jnp.uint32)
+        po_ref[:] = pltpu.stochastic_round(
+            p_new, rbits, target_dtype=jnp.bfloat16)
+    else:
+        po_ref[:] = p_new
     mo_ref[:] = m_new.astype(mo_ref.dtype)
     vo_ref[:] = v_new.astype(vo_ref.dtype)
 
 
 def _pallas_update_multi(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
-                         lvl, rowmap, T: int, tb: int, w: int, b1: float,
-                         b2: float, eps: float):
+                         lvl, rowmap, seed, T: int, tb: int, w: int,
+                         b1: float, b2: float, eps: float):
     R = p128.shape[0]
     with_lo = g_lo is not None
-    tile_spec = pl.BlockSpec((tb, 128), lambda t, o, s, l, rm: (rm[t], 0))
-    w0_spec = pl.BlockSpec((w, 128), lambda t, o, s, l, rm: (o[t], 0))
-    w1_spec = pl.BlockSpec((w, 128), lambda t, o, s, l, rm: (o[t] + 1, 0))
+    tile_spec = pl.BlockSpec((tb, 128), lambda t, o, s, l, rm, sd: (rm[t], 0))
+    w0_spec = pl.BlockSpec((w, 128), lambda t, o, s, l, rm, sd: (o[t], 0))
+    w1_spec = pl.BlockSpec((w, 128), lambda t, o, s, l, rm, sd: (o[t] + 1, 0))
     g_specs = [w0_spec, w0_spec, w1_spec, w1_spec] if with_lo else [
         w0_spec, w1_spec]
     g_args = (g_hi, g_lo, g_hi, g_lo) if with_lo else (g_hi, g_hi)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(T,),
         in_specs=[
             tile_spec, tile_spec, tile_spec,
-            pl.BlockSpec((1, w), lambda t, o, s, l, rm: (0, o[t])),
-            pl.BlockSpec((1, w), lambda t, o, s, l, rm: (0, o[t] + 1)),
+            pl.BlockSpec((1, w), lambda t, o, s, l, rm, sd: (0, o[t])),
+            pl.BlockSpec((1, w), lambda t, o, s, l, rm, sd: (0, o[t] + 1)),
         ] + g_specs,
         out_specs=[tile_spec, tile_spec, tile_spec],
     )
@@ -213,16 +227,17 @@ def _pallas_update_multi(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
         functools.partial(_kernel_multi, tb=tb, w=w, b1=b1, b2=b2, eps=eps),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R, 128), p128.dtype),
             jax.ShapeDtypeStruct((R, 128), m128.dtype),
             jax.ShapeDtypeStruct((R, 128), v128.dtype),
         ],
         # in-place p/m/v update — same aliasing rationale as _pallas_update
-        input_output_aliases={4: 0, 5: 1, 6: 2},
+        input_output_aliases={5: 0, 6: 1, 7: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(offs, scal, lvl, rowmap, p128, m128, v128, prow_p, prow_p, *g_args)
+    )(offs, scal, lvl, rowmap, seed, p128, m128, v128, prow_p, prow_p,
+      *g_args)
 
 
 def choose_tiles_multi(Rs: Sequence[int], M: int) -> Tuple[int, int]:
@@ -322,6 +337,7 @@ def fused_adam_packed_multi_pre(
     use_pallas: bool = True,
     n_used: Sequence[int] | None = None,
     grads_bf16: bool = False,
+    sr_seed=None,
 ):
     """Dense-Adam step over ALL levels' concatenated packed tables in ONE
     kernel dispatch, with the row-only prep (:func:`entry_prep_multi`)
@@ -335,6 +351,12 @@ def fused_adam_packed_multi_pre(
     re-zeroes them defensively).  Semantics: reference dense Adam per
     level, identical to :func:`fused_adam_packed_multi` up to f32
     addition order.
+
+    bf16 table mode (tpu.params_bf16): when ``p128`` is bfloat16, the
+    update computes in f32 and writes the parameters back with STOCHASTIC
+    rounding (seeded by ``sr_seed``, an int32 scalar that must vary per
+    step) — halves both the sweep's parameter traffic and the map's
+    memory; documented quantization of the stored field.
     """
     M = g128.shape[0]
     Rs, Rus, roffs, tb, w, rowmap_np, lvl_np = _multi_geometry(
@@ -348,14 +370,20 @@ def fused_adam_packed_multi_pre(
         np.asarray(list(lr_scales), np.float32), Rs)[:, None])
     hints = dict(unique_indices=True, mode="promise_in_bounds")
 
+    bf16_p = p128.dtype == jnp.bfloat16
+    if bf16_p and sr_seed is None:
+        raise ValueError("params_bf16 update needs a per-step sr_seed")
+
     def xla_full(p128, m128, v128):
         gz = jnp.where(
             pre.trash.at[jnp.argsort(pre.order)].get(**hints)[:, None],
             0.0, g128)
-        gd = jnp.zeros_like(p128).at[prow_g].add(gz)
+        gd = jnp.zeros(p128.shape, jnp.float32).at[prow_g].add(gz)
         m = b1 * m128.astype(jnp.float32) + (1.0 - b1) * gd
         v = b2 * v128.astype(jnp.float32) + (1.0 - b2) * gd * gd
-        p = p128 - (lr * lr_rows) * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+        p = (p128.astype(jnp.float32)
+             - (lr * lr_rows) * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
+        p = sr_round_bf16(p, sr_seed) if bf16_p else p
         return p, m.astype(m128.dtype), v.astype(v128.dtype)
 
     if not (use_pallas and _HAS_PALLAS
@@ -380,11 +408,14 @@ def fused_adam_packed_multi_pre(
     rowmap = jnp.asarray(rowmap_np)
     T = int(rowmap_np.shape[0])
 
+    seed = (jnp.zeros((1,), jnp.int32) if sr_seed is None
+            else jnp.asarray(sr_seed, jnp.int32).reshape(1))
+
     def do_pallas(args):
         p128, m128, v128 = args
         return tuple(_pallas_update_multi(
             p128, m128, v128, pre.prow_p, g_hi, g_lo, pre.offs, scal,
-            lvl, rowmap, T, tb, w, b1, b2, eps,
+            lvl, rowmap, seed, T, tb, w, b1, b2, eps,
         ))
 
     def do_xla(args):
@@ -529,7 +560,7 @@ def fused_adam_packed_multi(
         p128, m128, v128 = args
         return tuple(_pallas_update_multi(
             p128, m128, v128, prow_p, g_hi, g_lo, offs, scal, lvl, rowmap,
-            T, tb, w, b1, b2, eps,
+            jnp.zeros((1,), jnp.int32), T, tb, w, b1, b2, eps,
         ))
 
     def do_xla(args):
@@ -549,6 +580,20 @@ def fused_adam_packed_multi(
                 jnp.concatenate(v_out))
 
     return jax.lax.cond(ok, do_pallas, do_xla, (p128, m128, v128))
+
+
+def sr_round_bf16(x: jnp.ndarray, seed) -> jnp.ndarray:
+    """Stochastically round f32 ``x`` to bfloat16 — the XLA twin of the
+    kernel's ``pltpu.stochastic_round`` (different random stream, same
+    unbiasedness): add uniform bits below the bf16 mantissa cut, truncate.
+    Carries propagate into the exponent correctly; non-finite values pass
+    through untouched."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    r = jax.random.bits(
+        jax.random.PRNGKey(seed), x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    out = jax.lax.bitcast_convert_type(
+        (bits + r) & jnp.uint32(0xFFFF0000), jnp.float32)
+    return jnp.where(jnp.isfinite(x), out, x).astype(jnp.bfloat16)
 
 
 # ------------------------------------------------------------------ wrapper

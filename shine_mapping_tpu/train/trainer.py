@@ -696,6 +696,14 @@ def train_chunk(
             "tpu.moments_bf16 requires feature_update: pallas "
             f"(resolved mode: {mode})"
         )
+    if params["features"][0].dtype == jnp.bfloat16 and not winx:
+        # bf16 TABLES need the stochastic-rounding multi kernel — only the
+        # fused-window body feeds it; every other path would silently
+        # nearest-round and stall sub-quantum updates
+        raise ValueError(
+            "tpu.params_bf16 requires fused batch windows "
+            "(batch_windows + windows_fused, single chip)"
+        )
     # single-chip pallas: concatenate all levels into one packed array so
     # the update is ONE kernel dispatch (multi-chip keeps per-level arrays:
     # the shard_map island + narrow all-gather is per level).  The fused
@@ -1293,6 +1301,9 @@ def _train_chunk_impl(
             lr, bc1, bc2, feat_shapes, lr_scales, eps=s.adam_eps,
             use_pallas=use_pallas_kernel, n_used=s.n_used,
             grads_bf16=bf16_update,
+            # per-step stochastic-rounding seed for bf16 tables
+            # (tpu.params_bf16); unused for f32 tables
+            sr_seed=(start_iter + it).astype(jnp.int32),
         )
         params = dict(new_dense)
         params["features"] = f_n

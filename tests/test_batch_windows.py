@@ -579,3 +579,136 @@ def test_winx_matches_per_level_windows_with_eikonal():
     for a, b in zip(p1["features"], p2["features"]):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+# ------------------------------------------------------------- params_bf16
+# (bf16 feature tables + stochastic-rounding update — tpu.params_bf16)
+
+
+def test_sr_round_bf16_properties():
+    """Stochastic rounding: lands on one of the two bf16 neighbors, is
+    unbiased in expectation, and passes non-finite values through."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4096,)).astype(np.float32)) * 0.1
+    lo = x.astype(jnp.bfloat16)  # nearest — one of the neighbors
+    acc = jnp.zeros_like(x)
+    n = 32
+    for seed in range(n):
+        r = adam_kernel.sr_round_bf16(x, jnp.int32(seed)).astype(jnp.float32)
+        # each draw lands on a bf16 value within one quantum of x
+        assert np.all(np.abs(np.asarray(r - x)) <= np.maximum(
+            np.abs(np.asarray(x)) * 2.0 ** -7, 2.0 ** -126))
+        acc = acc + r
+    mean = np.asarray(acc / n)
+    err = np.abs(mean - np.asarray(x))
+    tol = np.maximum(np.abs(np.asarray(x)), 1e-3) * 2.0 ** -8 * 1.5
+    assert (err <= tol).mean() > 0.95, "SR mean drifted from the input"
+    special = jnp.asarray([np.inf, -np.inf, np.nan], jnp.float32)
+    out = np.asarray(adam_kernel.sr_round_bf16(special, jnp.int32(1)),
+                     np.float32)
+    assert np.isinf(out[0]) and np.isinf(out[1]) and np.isnan(out[2])
+
+
+def test_multi_pre_bf16_params_tracks_f32():
+    """The bf16-table update (XLA twin) must stay within one bf16 quantum
+    of the f32 update and keep the bf16 dtype."""
+    rng = np.random.default_rng(5)
+    shapes = ((1 << 10, 8),)
+    C, D = shapes[0]
+    M = 512
+    from shine_mapping_tpu.ops.adam_kernel import _multi_geometry
+    p = rng.normal(size=(C, D)).astype(np.float32).reshape(-1, 128)
+    m = (rng.normal(size=(C, D)) * 0.1).astype(np.float32).reshape(-1, 128)
+    v = np.abs(rng.normal(size=(C, D)) * 0.01).astype(
+        np.float32).reshape(-1, 128)
+    rows = rng.integers(0, C - 1, M).astype(np.int32)
+    PACK = 128 // D
+    g128 = np.zeros((M, 128), np.float32)
+    lane0 = (rows % PACK) * D
+    for k_ in range(M):
+        g128[k_, lane0[k_]:lane0[k_] + D] = rng.normal(size=D)
+    prow_g = jnp.asarray(rows // PACK)
+    pre = adam_kernel.entry_prep_multi(
+        prow_g, jnp.zeros(M, bool), shapes, None)
+    lr, bc1, bc2 = jnp.float32(0.01), jnp.float32(0.5), jnp.float32(0.5)
+    args = (jnp.asarray(g128), prow_g, pre, lr, bc1, bc2, shapes, (1.0,))
+    p32, m32, v32 = adam_kernel.fused_adam_packed_multi_pre(
+        jnp.asarray(p), jnp.asarray(m), jnp.asarray(v), *args,
+        use_pallas=False, grads_bf16=True)
+    pb, mb, vb = adam_kernel.fused_adam_packed_multi_pre(
+        jnp.asarray(p).astype(jnp.bfloat16).astype(
+            jnp.bfloat16),
+        jnp.asarray(m).astype(jnp.bfloat16),
+        jnp.asarray(v).astype(jnp.bfloat16), *args,
+        use_pallas=False, grads_bf16=True, sr_seed=jnp.int32(3))
+    assert pb.dtype == jnp.bfloat16
+    # within (input quantization + output quantization) of the f32 step
+    diff = np.abs(np.asarray(pb, np.float32) - np.asarray(p32))
+    quantum = np.maximum(np.abs(np.asarray(p32)) * 2.0 ** -7, 1e-4)
+    assert (diff <= quantum * 1.5).mean() > 0.99
+    # seed is required for bf16 tables
+    with pytest.raises(ValueError, match="sr_seed"):
+        adam_kernel.fused_adam_packed_multi_pre(
+            jnp.asarray(p).astype(jnp.bfloat16),
+            jnp.asarray(m).astype(jnp.bfloat16),
+            jnp.asarray(v).astype(jnp.bfloat16), *args,
+            use_pallas=False, grads_bf16=True)
+
+
+def test_winx_params_bf16_trains_and_splits_deterministically():
+    """bf16 tables through the fused-window trainer: loss falls, params
+    stay finite AND bf16, and the chunk-split trajectory is bit-exact (the
+    stochastic-rounding seed derives from the absolute iteration)."""
+    (grid, settings, params, opt_state, dev_pool, n_valid,
+     feat_shapes, tables, pre) = _winx_setup(seed=23, n=2000)
+    wx = trainer.precompute_batch_windows_fused(
+        pre, dev_pool, int(n_valid), jax.random.PRNGKey(1), settings,
+        feat_shapes)
+    params = dict(params, features=tuple(
+        f.astype(jnp.bfloat16) for f in params["features"]))
+    opt_state = init_opt_state(params, moments_bf16=True)
+    key = jax.random.PRNGKey(2)
+
+    def run(splits):
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        o = jax.tree_util.tree_map(jnp.copy, opt_state)
+        start = 0
+        aux0 = aux = None
+        for n in splits:
+            p, o, aux = trainer.train_chunk(
+                p, o, tables, dev_pool, trainer.empty_shadow(p["features"]),
+                n_valid, jnp.int32(start), key, settings, n,
+                batch_windows=wx)
+            if aux0 is None:
+                aux0 = aux
+            start += n
+        return p, aux0, aux
+
+    p_once, aux_first, aux_last = run([8])
+    assert p_once["features"][0].dtype == jnp.bfloat16
+    first = float(aux_first["last"]["total_loss"])
+    for leaf in p_once["features"]:
+        assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
+    p_split, _, _ = run([3, 5])
+    for a, b in zip(p_once["features"], p_split["features"]):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32))
+    # training makes progress despite the quantized store
+    p2, _, aux2 = run([40])
+    assert float(aux2["mean"]["total_loss"]) < first
+
+
+def test_winx_params_bf16_gate():
+    """bf16 tables without the fused-window body must raise."""
+    pool, surf = make_sphere_pool(800, seed=29)
+    cfg = default_cfg(bs=256)
+    grid, settings, params, _, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="pallas")
+    params = dict(params, features=tuple(
+        f.astype(jnp.bfloat16) for f in params["features"]))
+    opt_state = init_opt_state(params, moments_bf16=True)
+    with pytest.raises(ValueError, match="params_bf16"):
+        trainer.train_chunk(
+            params, opt_state, tuple(grid.tables), dev_pool,
+            trainer.empty_shadow(params["features"]),
+            n_valid, jnp.int32(0), jax.random.PRNGKey(0), settings, 2)

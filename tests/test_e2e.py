@@ -402,3 +402,36 @@ def test_checkpoint_roundtrip_after_training(synth_root, tmp_path):
     f1 = np.asarray(query_feature(q, grid.tables, list(params["features"]), grid.levels, True))
     f2 = np.asarray(query_feature(q, grid2.tables, list(params2["features"]), grid2.levels, True))
     np.testing.assert_allclose(f1, f2, atol=1e-6)
+
+
+def test_batch_driver_params_bf16_end_to_end(synth_root, tmp_path, capsys):
+    """tpu.params_bf16 (bfloat16 feature tables + stochastic-rounding
+    update — half map memory) through the full batch driver: same quality
+    gates as the f32 table."""
+    from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.feature_update = "pallas"
+    cfg.batch_windows = True
+    cfg.moments_bf16 = True
+    cfg.params_bf16 = True
+    cfg.vis_freq_iters = cfg.iters  # final mesh
+    run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
+    out = capsys.readouterr().out
+    assert "bf16 map mode" in out
+    import jax.numpy as jnp
+    assert params["features"][0].dtype == jnp.bfloat16
+    # host mirror upcast for meshing/checkpointing
+    assert grid.features[0].dtype == jnp.float32
+
+    mesh_path = run_path + f"/mesh/mesh_iter_{cfg.iters}.ply"
+    gt = synth.gt_surface_points(100_000)
+    gt_path = str(tmp_path / "gt.ply")
+    io.write_ply(gt_path, io.PointCloud(points=gt))
+    m = eval_mesh(
+        mesh_path, gt_path, down_sample_res=0.05, threshold=0.2,
+        truncation_acc=0.4, truncation_com=2.0, mesh_sample_point=300_000,
+    )
+    print({k: round(v, 4) for k, v in m.items()})
+    assert m["Chamfer_L1 (m)"] < 0.15, m
+    assert m["F-score (%)"] > 75.0, m
