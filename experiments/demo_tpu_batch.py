@@ -96,6 +96,7 @@ tpu:
   moments_bf16: true
   precompute_lookups: true
   batch_windows: {windows}
+  params_bf16: {params_bf16}
 """
 
 
@@ -133,11 +134,14 @@ def main() -> None:
 
     cfg_path = os.path.join(out, "cfg.yaml")
     # SHINE_DEMO_WINDOWS=1 runs the epoch-window sampling mode
-    # (tpu.batch_windows) instead of iid batches
+    # (tpu.batch_windows) instead of iid batches;
+    # SHINE_DEMO_PARAMS_BF16=1 additionally stores the tables bf16
     windows = os.environ.get("SHINE_DEMO_WINDOWS", "0") == "1"
+    params_bf16 = os.environ.get("SHINE_DEMO_PARAMS_BF16", "0") == "1"
     with open(cfg_path, "w") as f:
         f.write(CFG_TMPL.format(out=out, root=root,
-                                windows="true" if windows else "false"))
+                                windows="true" if windows else "false",
+                                params_bf16="true" if params_bf16 else "false"))
 
     from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
 
