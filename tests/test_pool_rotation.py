@@ -50,3 +50,32 @@ def test_subset_pool_helper():
     assert sub.coord.shape == (3, 3)
     assert sub.ray_depth.shape == (10,)  # non-sample-aligned fields kept
     assert len(pool) == n  # original untouched
+
+
+def test_batch_driver_pool_rotation_with_fused_windows(tmp_path, capsys):
+    """Rotation invalidates the fused-window precompute: the driver must
+    rebuild the stacks/preps for every sub-pool and keep training sound
+    (the production perf path intersected with the giant-dataset path)."""
+    from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
+
+    root = str(tmp_path / "world")
+    synth.make_kitti_dataset(root, n_frames=4)
+    cfg = small_cfg(root, str(tmp_path))
+    cfg.iters = 120
+    cfg.scan_chunk = 40
+    cfg.max_device_pool = 1 << 14
+    cfg.pool_rotate_iters = 40
+    cfg.feature_update = "pallas"
+    cfg.moments_bf16 = True
+    cfg.batch_windows = True
+    cfg.params_bf16 = True
+    run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
+    out = capsys.readouterr().out
+    assert "rotating" in out and "bf16 map mode" in out
+    assert "prerequisites unmet" not in out
+    import json
+
+    recs = [json.loads(l) for l in open(run_path + "/metrics.jsonl")]
+    losses = [r["loss/total_loss"] for r in recs]
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses[-1])
