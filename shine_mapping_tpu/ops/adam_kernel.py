@@ -462,6 +462,10 @@ def fused_adam_packed_multi(
     Semantics are identical to calling :func:`fused_adam_packed` per level
     slice.
     """
+    if p128.dtype != jnp.float32:
+        # only the precomputed-prep variant carries the stochastic-rounding
+        # seed a bf16 table needs (fused_adam_packed_multi_pre)
+        raise ValueError("fused_adam_packed_multi needs f32 tables")
     L = len(shapes)
     D = shapes[0][1]
     PACK = 128 // D
@@ -863,6 +867,10 @@ def fused_adam_packed(
 
     Returns updated (p128, m128, v128).
     """
+    if p128.dtype != jnp.float32:
+        # bf16 tables ride the fused-window multi kernel only
+        # (fused_adam_packed_multi_pre, which carries the SR seed)
+        raise ValueError("fused_adam_packed needs f32 tables")
     M = rows.shape[0]
     if grads_bf16:
         # same rounding in every path so kernel and fallbacks agree
