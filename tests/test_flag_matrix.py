@@ -34,6 +34,11 @@ COMBOS = [
          _batch_windows=True, _windows_fused=True),
     dict(feature_update="pallas", ekional_loss_on=True, _n_used=True,
          _batch_windows=True, _windows_fused=True),
+    # winx + semantic head; and the full production stack (bf16 tables)
+    dict(feature_update="pallas", semantic_on=True, _n_used=True,
+         _batch_windows=True, _windows_fused=True),
+    dict(feature_update="pallas", _moments_bf16=True, _n_used=True,
+         _batch_windows=True, _windows_fused=True, _params_bf16=True),
 ]
 
 
@@ -46,7 +51,13 @@ def test_flag_combo_trains_finite(combo):
     with_n_used = combo.pop("_n_used", False)
     with_windows = combo.pop("_batch_windows", False)
     windows_fused = combo.pop("_windows_fused", False)
+    params_bf16 = combo.pop("_params_bf16", False)
     pool, surf = make_sphere_pool(800, seed=13)
+    if combo.get("semantic_on"):
+        import numpy as _np
+
+        pool.sem_label = _np.random.default_rng(1).integers(
+            0, 20, pool.coord.shape[0]).astype(_np.int32)
     cfg = default_cfg(bs=512)
     if combo.get("time_conditioned"):
         cfg.time_conditioned = True
@@ -56,6 +67,9 @@ def test_flag_combo_trains_finite(combo):
     if with_n_used:
         settings = dataclasses.replace(
             settings, n_used=trainer.used_rows_for(grid))
+    if params_bf16:
+        params = dict(params, features=tuple(
+            f.astype(jnp.bfloat16) for f in params["features"]))
     if moments_bf16:
         opt_state = init_opt_state(params, moments_bf16=True)
     pre_lookups = batch_windows = None
