@@ -373,6 +373,12 @@ def _feat_winx(c, G, wx, s: TrainSettings):
     and kernel entries.  ``wx`` carries the window's static structure:
     kidx (B, L*8) row-slot of each corner, slots (B, L*8) lane slot,
     found (B, L), K.
+
+    Parity: computes exactly the reference's hierarchical interpolation
+    (trilinear/smoothstep weights x 8 corner features, summed over
+    featured levels — model/feature_octree.py:172-244), regrouped by
+    packed row; misses contribute zero like the trashbin convention
+    (model/feature_octree.py:209-215).
     """
     K = wx["K"]
     D = wx["feat_dims"][0]
