@@ -141,6 +141,11 @@ def _lattice_core(features, tables, coord, origins_k, npb: int, block: int,
     per LATTICE CELL (not per point); points select their cell's corner
     features with an exact one-hot f32 MXU matmul (one nonzero per row).
     Returns (feat (npb*block, D), found-per-point list per level).
+
+    Parity: the reference's chunked query_points + get_indices_fast
+    semantics (utils/mesher.py:33-108, model/feature_octree.py:267-286 —
+    its voxel-dedup dict lookup is the host-side ancestor of this
+    lattice) with identical node assignment via quantize_points.
     """
     from .ops.hashgrid import lookup_level_cells
     from .ops.interp import corner_weights
