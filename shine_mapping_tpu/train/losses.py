@@ -108,13 +108,29 @@ def batch_ray_rendering_loss(
     return jnp.mean(jnp.abs(d_render - d_meas))
 
 
+def safe_norm(x: jnp.ndarray, axis=-1, keepdims: bool = False) -> jnp.ndarray:
+    """|x| with a ZERO subgradient at x == 0 (torch's norm convention).
+
+    ``jnp.linalg.norm``'s backward at exactly zero is 0/0 = NaN — and an
+    all-levels-missed sample has an exactly-zero point gradient (constant
+    trashbin feature), so one such sample NaNs the whole batch through the
+    eikonal/normal/consistency terms even when the mask zeroes its loss
+    (0 * NaN = NaN in the backward).  The reference's torch norm defines
+    the subgradient at 0 as 0, so this is also a parity fix.  Standard
+    double-where: the sqrt never sees 0 on the taken branch.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    pos = sq > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
+
+
 def eikonal_loss(grads: jnp.ndarray, surface_mask: jnp.ndarray) -> jnp.ndarray:
     """Mean (1 - |grad|)^2 over surface samples — shine_batch.py:183-185.
 
     Static-shape version: the mask weights the mean instead of boolean
     indexing (dynamic shapes don't jit).
     """
-    norms = jnp.linalg.norm(grads, axis=-1)
+    norms = safe_norm(grads, axis=-1)
     per = (1.0 - norms) ** 2
     m = surface_mask.astype(per.dtype)
     return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
@@ -124,9 +140,9 @@ def normal_loss(
     grads: jnp.ndarray, normal_label: jnp.ndarray, surface_mask: jnp.ndarray
 ) -> jnp.ndarray:
     """Gradient-direction vs measured-normal L2 — shine_batch.py:192-197."""
-    g_dir = grads / (jnp.linalg.norm(grads, axis=-1, keepdims=True) + 1e-12)
+    g_dir = grads / (safe_norm(grads, axis=-1, keepdims=True) + 1e-12)
     diff = jnp.abs(g_dir - normal_label)
-    per = jnp.linalg.norm(diff, axis=1)
+    per = safe_norm(diff, axis=1)
     m = surface_mask.astype(per.dtype)
     return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
 
@@ -134,8 +150,8 @@ def normal_loss(
 def consistency_loss(g_a: jnp.ndarray, g_b: jnp.ndarray) -> jnp.ndarray:
     """1 - cosine similarity between gradients of nearby points
     (shine_batch.py:187-190)."""
-    na = jnp.linalg.norm(g_a, axis=-1) + 1e-12
-    nb = jnp.linalg.norm(g_b, axis=-1) + 1e-12
+    na = safe_norm(g_a, axis=-1) + 1e-12
+    nb = safe_norm(g_b, axis=-1) + 1e-12
     cos = jnp.sum(g_a * g_b, axis=-1) / (na * nb)
     return jnp.mean(1.0 - cos)
 

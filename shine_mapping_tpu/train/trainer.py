@@ -289,7 +289,8 @@ def _compute_loss(params, tables, batch, shadow, key, s: TrainSettings):
         ray = coords - batch["origin"]
         cos = jnp.abs(
             jnp.sum(g * ray, axis=-1)
-            / (jnp.linalg.norm(g, axis=-1) * jnp.linalg.norm(ray, axis=-1) + 1e-12)
+            / (losses.safe_norm(g, axis=-1)
+               * losses.safe_norm(ray, axis=-1) + 1e-12)
         )
         cos = jnp.where(surface_mask, cos, 1.0)
         sdf_target = sdf_target * cos
@@ -480,7 +481,8 @@ def _compute_loss_sparse(dense_params, G_list, G_near, batch, fac, key, s: Train
         ray = coords - batch["origin"]
         cos = jnp.abs(
             jnp.sum(g * ray, axis=-1)
-            / (jnp.linalg.norm(g, axis=-1) * jnp.linalg.norm(ray, axis=-1) + 1e-12)
+            / (losses.safe_norm(g, axis=-1)
+               * losses.safe_norm(ray, axis=-1) + 1e-12)
         )
         cos = jnp.where(surface_mask, cos, 1.0)
         sdf_target = sdf_target * cos

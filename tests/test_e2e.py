@@ -435,3 +435,35 @@ def test_batch_driver_params_bf16_end_to_end(synth_root, tmp_path, capsys):
     print({k: round(v, 4) for k, v in m.items()})
     assert m["Chamfer_L1 (m)"] < 0.15, m
     assert m["F-score (%)"] > 75.0, m
+
+
+def test_batch_driver_icra_losses_windows_end_to_end(synth_root, tmp_path):
+    """The ICRA'23 repro loss configuration (eikonal on) through the full
+    production stack (windows_fused + moments_bf16 + params_bf16): the
+    coordinate-gradient pass must ride the fused-window path e2e."""
+    from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.feature_update = "pallas"
+    cfg.batch_windows = True
+    cfg.moments_bf16 = True
+    cfg.params_bf16 = True
+    cfg.ekional_loss_on = True
+    cfg.weight_e = 0.1
+    cfg.vis_freq_iters = cfg.iters
+    run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
+
+    import json
+    recs = [json.loads(l) for l in open(run_path + "/metrics.jsonl")]
+    assert "loss/eikonal_loss" in recs[-1]
+    mesh_path = run_path + f"/mesh/mesh_iter_{cfg.iters}.ply"
+    gt = synth.gt_surface_points(100_000)
+    gt_path = str(tmp_path / "gt.ply")
+    io.write_ply(gt_path, io.PointCloud(points=gt))
+    m = eval_mesh(
+        mesh_path, gt_path, down_sample_res=0.05, threshold=0.2,
+        truncation_acc=0.4, truncation_com=2.0, mesh_sample_point=300_000,
+    )
+    print({k: round(v, 4) for k, v in m.items()})
+    assert m["Chamfer_L1 (m)"] < 0.15, m
+    assert m["F-score (%)"] > 75.0, m

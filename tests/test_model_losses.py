@@ -234,3 +234,38 @@ def test_group_trees_structure():
     assert scale["features"][1] == 0.5
     assert wd["geo"]["w0"] == 0.1
     assert wd["features"][0] == 0.0
+
+
+def test_gradient_losses_zero_grad_no_nan():
+    """A sample whose point gradient is EXACTLY zero (all levels missed ->
+    constant trashbin feature) must not NaN the backward of the gradient
+    losses — torch's norm defines the subgradient at 0 as 0; safe_norm
+    reproduces that (a masked sample's 0 * NaN would still poison the
+    batch)."""
+    import jax
+    import jax.numpy as jnp
+    from shine_mapping_tpu.train import losses
+
+    g = jnp.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.5, 0.5, 0.0]])
+    mask = jnp.array([False, True, True])
+
+    val, grad = jax.value_and_grad(
+        lambda g_: losses.eikonal_loss(g_, mask))(g)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+    n_lbl = jnp.array([[0.0, 0.0, 1.0]] * 3)
+    val, grad = jax.value_and_grad(
+        lambda g_: losses.normal_loss(g_, n_lbl, mask))(g)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+    val, grad = jax.value_and_grad(
+        lambda g_: losses.consistency_loss(g_, g_ + 0.1))(g)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+    # and the masked-out zero row contributes exactly nothing
+    val2 = losses.eikonal_loss(g.at[0].set(9.0), mask)
+    np.testing.assert_allclose(
+        float(losses.eikonal_loss(g, mask)), float(val2), rtol=1e-6)
