@@ -39,6 +39,8 @@ COMBOS = [
          _batch_windows=True, _windows_fused=True),
     dict(feature_update="pallas", _moments_bf16=True, _n_used=True,
          _batch_windows=True, _windows_fused=True, _params_bf16=True),
+    # ray (rendering) loss through the pallas update path
+    dict(feature_update="pallas", _ray=True),
 ]
 
 
@@ -52,13 +54,22 @@ def test_flag_combo_trains_finite(combo):
     with_windows = combo.pop("_batch_windows", False)
     windows_fused = combo.pop("_windows_fused", False)
     params_bf16 = combo.pop("_params_bf16", False)
-    pool, surf = make_sphere_pool(800, seed=13)
+    ray = combo.pop("_ray", False)
+    if ray:
+        # ray-major pool: reuse the trainer test's dr-mode construction
+        from tests.test_trainer import make_ray_pool
+
+        pool, surf, ray_cfg_kw = make_ray_pool()
+        combo.update(ray_loss=True, main_loss_type="dr")
+    else:
+        ray_cfg_kw = {}
+    pool, surf = (pool, surf) if ray else make_sphere_pool(800, seed=13)
     if combo.get("semantic_on"):
         import numpy as _np
 
         pool.sem_label = _np.random.default_rng(1).integers(
             0, 20, pool.coord.shape[0]).astype(_np.int32)
-    cfg = default_cfg(bs=512)
+    cfg = default_cfg(bs=128 if ray else 512, **ray_cfg_kw)
     if combo.get("time_conditioned"):
         cfg.time_conditioned = True
     grid, settings, params, opt_state, dev_pool, n_valid = build(

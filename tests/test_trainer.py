@@ -193,9 +193,9 @@ def test_freeze_decoder():
     assert not grid.is_empty()
 
 
-def test_ray_rendering_loss_training():
-    rng = np.random.default_rng(11)
-    n_rays, a_n = 512, 7
+def make_ray_pool(n_rays=512, a_n=7, seed=11):
+    """Ray-major pool for dr-mode tests: (pool, surface points, cfg kw)."""
+    rng = np.random.default_rng(seed)
     dirs = rng.standard_normal((n_rays, 3))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     radius = 0.5
@@ -212,6 +212,16 @@ def test_ray_rendering_loss_training():
         origin=np.zeros((n_rays * a_n, 3), np.float32),
         time=np.zeros(n_rays * a_n, np.float32),
     )
+    kw = dict(surface_sample_n=5, free_sample_n=2, clearance_sample_n=0)
+    return pool, (dirs * radius), kw
+
+
+def test_ray_rendering_loss_training():
+    n_rays, a_n = 512, 7
+    pool, _, _ = make_ray_pool(n_rays, a_n)
+    dirs = pool.coord.reshape(n_rays, a_n, 3)[:, -1, :]
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    radius = 0.5
     cfg = default_cfg(ray_loss=True, main_loss_type="dr", bs=128)
     cfg.surface_sample_n, cfg.free_sample_n, cfg.clearance_sample_n = 5, 2, 0
     grid, settings, params, opt_state, dev_pool, n_valid = build(
