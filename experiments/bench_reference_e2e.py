@@ -110,12 +110,15 @@ def build_world_and_pool(cfg):
     return grid, dataset
 
 
-def run_ours(cfg, grid, dataset, windows: bool = False, tag: str = "ours"):
+def run_ours(cfg, grid, dataset, windows: bool = False, tag: str = "ours",
+             winxp: bool = False):
     """Train + mesh with this framework; returns (mesh_path, seconds).
 
     ``windows=True`` exercises the tpu.batch_windows sampling mode (epoch
     windows + precomputed kernel prep) so its documented sampling delta
-    gets a quality row against the reference too."""
+    gets a quality row against the reference too; ``winxp=True`` runs the
+    full round-3 production stack on top (fused-window layout + bf16
+    moments + bf16 tables with stochastic rounding)."""
     import jax
     import jax.numpy as jnp
 
@@ -128,7 +131,10 @@ def run_ours(cfg, grid, dataset, windows: bool = False, tag: str = "ours"):
     )
     params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
-    opt_state = init_opt_state(params)
+    if winxp:
+        params = dict(params, features=tuple(
+            f.astype(jnp.bfloat16) for f in params["features"]))
+    opt_state = init_opt_state(params, moments_bf16=winxp)
     shadow = trainer.empty_shadow(params["features"])
     dev_pool, n_valid = trainer.pool_to_device(
         dataset.pool, cfg.init_pool_capacity, settings
@@ -140,10 +146,18 @@ def run_ours(cfg, grid, dataset, windows: bool = False, tag: str = "ours"):
         pre_lookups = trainer.precompute_pool_lookups(
             tables, dev_pool["coord"], tuple(grid.levels), caps
         )
-        batch_windows = trainer.precompute_batch_windows(
-            pre_lookups, int(n_valid), jax.random.PRNGKey(5157), settings,
-            tuple(tuple(f.shape) for f in params["features"]),
-        )
+        feat_shapes = tuple(tuple(f.shape) for f in params["features"])
+        if winxp:
+            batch_windows = trainer.precompute_batch_windows_fused(
+                pre_lookups, dev_pool, int(n_valid),
+                jax.random.PRNGKey(5157), settings, feat_shapes,
+            )
+            pre_lookups = None
+        else:
+            batch_windows = trainer.precompute_batch_windows(
+                pre_lookups, int(n_valid), jax.random.PRNGKey(5157),
+                settings, feat_shapes,
+            )
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
     done = 0
@@ -331,6 +345,12 @@ def main() -> None:
     win_mesh, win_train_s, win_mesh_s, _ = run_ours(
         cfg, grid, dataset, windows=True, tag="ours_windows"
     )
+    # third "ours" pass: the FULL round-3 production stack (fused windows
+    # + bf16 moments + bf16 tables), same initial features
+    grid.features = [jnp.asarray(f) for f in init_feats]
+    wxp_mesh, wxp_train_s, wxp_mesh_s, _ = run_ours(
+        cfg, grid, dataset, windows=True, tag="ours_winxp", winxp=True
+    )
     ref_mesh, ref_train_s, ref_mesh_s = run_reference(cfg, dataset, mesher)
 
     gt = synth.gt_surface_points(100_000)
@@ -341,6 +361,7 @@ def main() -> None:
                    truncation_com=2.0, mesh_sample_point=300_000)
     m_ours = eval_mesh(ours_mesh, gt_path, **eval_kw)
     m_win = eval_mesh(win_mesh, gt_path, **eval_kw)
+    m_wxp = eval_mesh(wxp_mesh, gt_path, **eval_kw)
     m_ref = eval_mesh(ref_mesh, gt_path, **eval_kw)
 
     result = {
@@ -368,6 +389,17 @@ def main() -> None:
             # sampling delta; on CPU the pallas update runs its (slower) XLA
             # fallback, so its timing says nothing about the TPU kernel
             "note": "CPU timing = pallas XLA fallback; quality row only",
+        },
+        "ours_winxp": {
+            "chamfer_l1_m": m_wxp["Chamfer_L1 (m)"],
+            "f_score_pct": m_wxp["F-score (%)"],
+            "mae_acc_m": m_wxp.get("MAE_accuracy (m)"),
+            "train_s": round(wxp_train_s, 2),
+            "mesh_s": round(wxp_mesh_s, 2),
+            "points_per_s": round(cfg.iters * cfg.bs / wxp_train_s, 1),
+            # full round-3 production stack (fused windows + bf16 moments +
+            # bf16 tables/stochastic rounding); quality row only on CPU
+            "note": "CPU timing = XLA fallbacks; quality row only",
         },
         "reference": {
             "chamfer_l1_m": m_ref["Chamfer_L1 (m)"],
