@@ -41,6 +41,11 @@ COMBOS = [
          _batch_windows=True, _windows_fused=True, _params_bf16=True),
     # ray (rendering) loss through the pallas update path
     dict(feature_update="pallas", _ray=True),
+    # time conditioning and projective-label correction through winx
+    dict(feature_update="pallas", time_conditioned=True, _n_used=True,
+         _batch_windows=True, _windows_fused=True),
+    dict(feature_update="pallas", proj_correction_on=True, _n_used=True,
+         _batch_windows=True, _windows_fused=True),
 ]
 
 
