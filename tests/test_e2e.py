@@ -467,3 +467,25 @@ def test_batch_driver_icra_losses_windows_end_to_end(synth_root, tmp_path):
     print({k: round(v, 4) for k, v in m.items()})
     assert m["Chamfer_L1 (m)"] < 0.15, m
     assert m["F-score (%)"] > 75.0, m
+
+
+def test_incremental_driver_eikonal_end_to_end(synth_root, tmp_path):
+    """Incremental mapping with the eikonal term: per-frame pools contain
+    all-levels-missed free-space samples whose point gradients are exactly
+    zero — the safe-norm backward must keep every frame finite."""
+    from shine_mapping_tpu.cli.shine_incre import run_shine_mapping_incremental
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.iters = 40
+    cfg.continual_learning_reg = False
+    cfg.window_replay_on = True
+    cfg.window_radius = 15.0
+    cfg.ekional_loss_on = True
+    cfg.weight_e = 0.1
+    cfg.mesh_freq_frame = 100
+    run_path, grid, params = run_shine_mapping_incremental(cfg=cfg)
+    import json
+
+    recs = [json.loads(l) for l in open(run_path + "/metrics.jsonl")]
+    assert all(np.isfinite(r["loss/total_loss"]) for r in recs)
+    assert all(np.isfinite(r["loss/eikonal_loss"]) for r in recs)
