@@ -299,9 +299,12 @@ def test_batch_driver_deterministic(synth_root, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("update_mode,bf16m", [("fused", False),
-                                               ("pallas", True)])
-def test_resume_from_full_checkpoint(synth_root, tmp_path, update_mode, bf16m):
+@pytest.mark.parametrize("update_mode,bf16m,windows",
+                         [("fused", False, False),
+                          ("pallas", True, False),
+                          ("pallas", True, True)])
+def test_resume_from_full_checkpoint(synth_root, tmp_path, update_mode,
+                                     bf16m, windows):
     """True resume: a run interrupted at iter 100 and resumed to 200 must
     reproduce the uninterrupted 200-iter run — optimizer moments, iteration
     counter, and (fold_in-keyed) batch draws all continue.  (The reference
@@ -316,6 +319,7 @@ def test_resume_from_full_checkpoint(synth_root, tmp_path, update_mode, bf16m):
     cfg.save_freq_iters = 100
     cfg.feature_update = update_mode
     cfg.moments_bf16 = bf16m
+    cfg.batch_windows = windows  # windows: resume continues the epoch seq
     run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
     n_corners_0 = grid.host_levels[0].n_corners
 
@@ -326,6 +330,7 @@ def test_resume_from_full_checkpoint(synth_root, tmp_path, update_mode, bf16m):
     cfg2.model_path = run_path + "/model/model_iter_100.npz"
     cfg2.feature_update = update_mode
     cfg2.moments_bf16 = bf16m
+    cfg2.batch_windows = windows
     run_path2, grid2, params2 = run_shine_mapping_batch(cfg=cfg2)
 
     # restored structure grew from (identical) frames -> same corner count
