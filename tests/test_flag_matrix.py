@@ -46,6 +46,10 @@ COMBOS = [
          _batch_windows=True, _windows_fused=True),
     dict(feature_update="pallas", proj_correction_on=True, _n_used=True,
          _batch_windows=True, _windows_fused=True),
+    # measured-normal supervision through winx (pool carries normals)
+    dict(feature_update="pallas", normal_loss_on=True, weight_n=0.01,
+         _normals=True, _n_used=True, _batch_windows=True,
+         _windows_fused=True),
 ]
 
 
@@ -60,6 +64,7 @@ def test_flag_combo_trains_finite(combo):
     windows_fused = combo.pop("_windows_fused", False)
     params_bf16 = combo.pop("_params_bf16", False)
     ray = combo.pop("_ray", False)
+    with_normals = combo.pop("_normals", False)
     if ray:
         # ray-major pool: reuse the trainer test's dr-mode construction
         from tests.test_trainer import make_ray_pool
@@ -69,6 +74,13 @@ def test_flag_combo_trains_finite(combo):
     else:
         ray_cfg_kw = {}
     pool, surf = (pool, surf) if ray else make_sphere_pool(800, seed=13)
+    if with_normals:
+        import numpy as _np
+
+        # unit sphere: the outward direction IS the surface normal
+        n = pool.coord / _np.maximum(
+            _np.linalg.norm(pool.coord, axis=1, keepdims=True), 1e-9)
+        pool.normal_label = n.astype(_np.float32)
     if combo.get("semantic_on"):
         import numpy as _np
 
