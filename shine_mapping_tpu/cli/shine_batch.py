@@ -182,16 +182,37 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         print("tpu.batch_windows requested but prerequisites unmet "
               "(needs the pallas update, point loss, no consistency, "
               "precompute_lookups) — falling back to iid batches")
-    # bf16 map mode: tables stored bfloat16, stochastic-rounding update
+    # fused-gather window layout: single-chip, or data-parallel with
+    # replicated tables (the update island all-gathers entry gradients).
+    # HBM guard: the window stacks live for the whole run and compete with
+    # the map tables and pool — degrade (fused -> per-level -> iid)
+    # instead of OOMing mid-run (trainer.estimate_windows_bytes).
+    windows_budget = int(cfg.windows_hbm_budget_gb * (1 << 30))
+    n_live_static = capacity if rotate_pool else len(dataset.pool)
+    est_fused = trainer.estimate_windows_bytes(
+        n_live_static, settings, feat_shapes, dev_pool, fused=True)
+    use_winx = cfg.windows_fused and (
+        batch_sharding is None or cfg.table_sharding == "replicated"
+    )
+    if use_windows and use_winx and est_fused > windows_budget:
+        print(
+            f"fused window stacks would hold ~{est_fused / 2**30:.1f} GiB "
+            f"(> tpu.windows_hbm_budget_gb {cfg.windows_hbm_budget_gb}) — "
+            "using the per-level window layout"
+        )
+        use_winx = False
+    # bf16 map mode: tables stored bfloat16, stochastic-rounding update.
+    # Resume is supported: the checkpoint's f32 features are the EXACT
+    # upcast of the bf16 tables (sync_features_to_grid), so casting back
+    # on restore is bit-identical; the moments round-trip bf16 natively.
     use_params_bf16 = (
-        cfg.params_bf16 and use_windows and cfg.windows_fused
-        and batch_sharding is None and not resume
+        cfg.params_bf16 and use_windows and use_winx
         and opt_state.m["features"][0].dtype == jnp.bfloat16
     )
     if cfg.params_bf16 and not use_params_bf16:
         print("tpu.params_bf16 requested but prerequisites unmet (needs "
-              "batch_windows + windows_fused on a single chip, "
-              "moments_bf16, fresh start) — keeping f32 tables")
+              "batch_windows + windows_fused with replicated tables, "
+              "moments_bf16) — keeping f32 tables")
     if use_params_bf16:
         params = dict(params, features=tuple(
             f.astype(jnp.bfloat16) for f in params["features"]))
@@ -214,12 +235,21 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             return None
         n_live = capacity if rotate_pool else len(dataset.pool)
         wkey = jax.random.fold_in(key, 0x5157)
-        if cfg.windows_fused and batch_sharding is None:
-            # single chip: fused-gather window layout (one gather + one
-            # kernel dispatch per iteration; same windows/batches)
+        if use_winx:
+            # fused-gather window layout (one gather + one kernel dispatch
+            # per iteration; same windows/batches as the per-level prep)
             return trainer.precompute_batch_windows_fused(
                 pre, dev_pool, int(n_live), wkey, settings, feat_shapes,
             )
+        est_win = trainer.estimate_windows_bytes(
+            int(n_live), settings, feat_shapes, dev_pool, fused=False)
+        if est_win > windows_budget:
+            print(
+                f"window precompute would hold ~{est_win / 2**30:.1f} GiB "
+                f"(> tpu.windows_hbm_budget_gb {cfg.windows_hbm_budget_gb})"
+                " — falling back to iid batches"
+            )
+            return None
         return trainer.precompute_batch_windows(
             pre, int(n_live), wkey, settings, feat_shapes,
         )

@@ -235,7 +235,8 @@ class SHINEConfig:
     # sub-quantum updates stay unbiased): halves map memory AND the dense
     # sweep's parameter traffic.  Documented quantization of the stored
     # field (~0.4% relative); quality-parity tested e2e.  Requires
-    # batch_windows + windows_fused (single chip) + moments_bf16.
+    # batch_windows + windows_fused + moments_bf16 (single-chip, or
+    # data-parallel with replicated tables).
     params_bf16: bool = False
     # epoch-style batch windows: one fixed shuffle cut into bs-sized
     # windows, cycled per iteration, with the pallas update's row-only prep
@@ -245,15 +246,23 @@ class SHINEConfig:
     # precompute_lookups.  Data-parallel runs supported (the sharded
     # update island consumes the same precomputed prep).
     batch_windows: bool = False
-    # with batch_windows on a single chip, use the fused-gather window
-    # layout: batch content pre-gathered into window stacks, the K distinct
-    # packed rows per sample per level resolved at precompute (a node's 8
-    # corners almost always share one packed row), the forward ONE gather
-    # from the concatenated tables, the update ONE multi-level kernel
-    # dispatch.  Same sampling semantics as batch_windows; ~35% faster
-    # iteration (experiments/exp_r3_winx.py).  Data-parallel runs fall back
-    # to the per-level window layout automatically.
+    # with batch_windows, use the fused-gather window layout: batch content
+    # pre-gathered into window stacks, the K distinct packed rows per
+    # sample per level resolved at precompute (a node's 8 corners almost
+    # always share one packed row), the forward ONE gather from the
+    # concatenated tables, the update ONE multi-level kernel dispatch.
+    # Same sampling semantics as batch_windows; ~2x faster iteration
+    # (experiments/exp_r3_winx.py).  Data-parallel runs keep this layout
+    # with replicated tables (the update island all-gathers the entry
+    # gradients); row-sharded (giant-map) runs fall back to the per-level
+    # window layout automatically.
     windows_fused: bool = True
+    # HBM budget (GiB) for the window precompute's device arrays (the
+    # fused layout stacks the batch CONTENT per window, ~230 B/sample over
+    # the whole pool — trainer.estimate_windows_bytes).  When the estimate
+    # exceeds this, the driver falls back (fused -> per-level windows ->
+    # iid batches) instead of OOMing mid-run.
+    windows_hbm_budget_gb: float = 4.0
     # write a jax.profiler device trace of one steady-state training chunk
     # to this directory (view with tensorboard / xprof); empty = off
     profile_dir: str = ""
@@ -376,7 +385,7 @@ class SHINEConfig:
             "scan_chunk", "mesh_shape", "feature_update",
             "fuse_update_levels", "moments_bf16", "sort_batch",
             "precompute_lookups", "batch_windows", "windows_fused",
-            "params_bf16",
+            "params_bf16", "windows_hbm_budget_gb",
             "profile_dir",
             "coordinator", "num_processes", "process_id", "table_sharding",
             "shard_ingest", "init_node_capacity", "init_corner_capacity",
@@ -400,6 +409,8 @@ class SHINEConfig:
         self.batch_windows = opt("tpu", "batch_windows", self.batch_windows)
         self.windows_fused = opt("tpu", "windows_fused", self.windows_fused)
         self.params_bf16 = opt("tpu", "params_bf16", self.params_bf16)
+        self.windows_hbm_budget_gb = float(opt(
+            "tpu", "windows_hbm_budget_gb", self.windows_hbm_budget_gb))
         self.profile_dir = opt("tpu", "profile_dir", self.profile_dir)
         self.coordinator = opt("tpu", "coordinator", self.coordinator)
         self.num_processes = opt("tpu", "num_processes", self.num_processes)

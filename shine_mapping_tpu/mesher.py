@@ -174,10 +174,16 @@ def _lattice_core(features, tables, coord, origins_k, npb: int, block: int,
         flat = jnp.clip(flat, 0, n3 - 1)
         onehot = (flat[:, :, None] == lat[None, None, :]).astype(
             jnp.float32)  # (npb, block, n3)
-        # exact selection on the MXU: one nonzero per onehot row
+        # exact selection on the MXU: one nonzero per onehot row.  The
+        # one-hot operand is exact in bf16, but TPU's DEFAULT f32 dot
+        # rounds BOTH operands to bf16 — quantizing the selected features
+        # ~2^-9 relative vs the per-point path.  HIGHEST on the feature
+        # operand (3-term bf16 decomposition) restores bit-exact selection;
+        # the 0/1 operand stays single-pass.
         Fx = jnp.einsum(
             "bpn,bnx->bpx", onehot, F.reshape(npb, n3, 8 * feat_dims[i]),
             preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
         ).reshape(npb, block, 8, feat_dims[i])
         found_p = (
             jnp.einsum("bpn,bn->bp", onehot,

@@ -23,6 +23,8 @@ import dataclasses
 import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -395,7 +397,17 @@ def _feat_winx(c, G, wx, s: TrainSettings):
         w_m = jnp.where(
             lanegrp[None, None, :] == sl_i[:, :, None], w8[:, :, None], 0.0)
         onek = (ki[:, :, None] == karange[None, None, :]).astype(w_m.dtype)
-        w_k = jnp.einsum("bcl,bck->bkl", w_m, onek)
+        # group the masked weights by gathered row: a true matmul (free l
+        # and k), so TPU's DEFAULT f32 dot would round w_m to bf16 —
+        # unlike the per-level path's lanefold, whose "bcl,bcl->bl" is an
+        # elementwise reduce with no rounding.  HIGHEST on the weight
+        # operand (one-hot onek is exact in bf16) keeps the two layouts'
+        # trilinear sums aligned on TPU; the einsum is tiny (8xKx128 MACs
+        # per sample) so the 3-pass decomposition costs nothing measurable.
+        w_k = jnp.einsum(
+            "bcl,bck->bkl", w_m, onek,
+            precision=(jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT),
+        )
         c128 = jnp.einsum("bkl,bkl->bl", w_k, G[:, i * K:(i + 1) * K])
         fi = c128.reshape(-1, PACK, D).sum(axis=1)
         f = fi if f is None else f + fi
@@ -679,12 +691,11 @@ def train_chunk(
                 "fused batch windows require the pallas update and a "
                 f"point-mode loss without consistency (mode: {mode})"
             )
-        if batch_sharding is not None:
-            raise ValueError(
-                "fused batch windows are single-chip only (multi-slot "
-                "entry gradients cannot ride the narrow DP all-gather); "
-                "use precompute_batch_windows for data-parallel runs"
-            )
+        # data-parallel winx is supported: the forward/backward shards over
+        # the batch dim and the update runs replicated inside a shard_map
+        # island whose boundary all-gathers the (bs, L*K, 128) entry
+        # gradients (bf16 when the kernel rounds them anyway).  Replicated
+        # tables are required — checked just below for all pallas modes.
     if mode == "pallas" and batch_sharding is not None:
         # the pallas kernel runs REPLICATED inside a shard_map island —
         # row-sharded (giant-map) tables would be silently all-gathered
@@ -712,13 +723,15 @@ def train_chunk(
             "tpu.params_bf16 requires fused batch windows "
             "(batch_windows + windows_fused, single chip)"
         )
-    # single-chip pallas: concatenate all levels into one packed array so
-    # the update is ONE kernel dispatch (multi-chip keeps per-level arrays:
-    # the shard_map island + narrow all-gather is per level).  The fused
-    # window mode (winx) REQUIRES the fused carry: its forward is one
-    # gather from the concatenated table.
-    fuse_tables = (mode == "pallas" and batch_sharding is None
-                   and (settings.fuse_update_levels or winx))
+    # pallas: concatenate all levels into one packed array so the update is
+    # ONE kernel dispatch (the per-level-window DP path keeps per-level
+    # arrays: its shard_map island + narrow all-gather is per level).  The
+    # fused window mode (winx) REQUIRES the fused carry — single-chip or
+    # data-parallel — because its forward is one gather from the
+    # concatenated table.
+    fuse_tables = (mode == "pallas"
+                   and (winx or (settings.fuse_update_levels
+                                 and batch_sharding is None)))
     if mode == "pallas":
         pack = _pack_feats_fused_jit if fuse_tables else _pack_feats_jit
         params = dict(params, features=pack(params["features"]))
@@ -1265,6 +1278,9 @@ def _train_chunk_impl(
         batch = {k2: sl(v) for k2, v in wx["pool"].items()}
         batch["ts"] = batch.pop("time", None)
         rows_kg = sl(wx["rows_kg"])
+        # replicated copy of the entry rows for the update island (the
+        # forward copy below may be batch-sharded)
+        rows_isl = rows_kg
         L = len(s.levels)
         fac = {"winx": {
             "K": rows_kg.shape[1] // L,
@@ -1273,6 +1289,23 @@ def _train_chunk_impl(
             "slots": sl(wx["slots"]).astype(jnp.int32),
             "found": sl(wx["found"]),
         }}
+        if batch_sharding is not None:
+            # data-parallel: shard the window content + per-sample structure
+            # over the batch dim; the gather/forward/backward then partition
+            # across chips and the (replicated-table) entry gradients meet
+            # the update island below
+            def con(a):
+                return jax.lax.with_sharding_constraint(a, batch_sharding)
+
+            batch = {k2: (con(v) if v is not None else None)
+                     for k2, v in batch.items()}
+            rows_kg = con(rows_kg)
+            fac["winx"] = dict(
+                fac["winx"],
+                kidx=con(fac["winx"]["kidx"]),
+                slots=con(fac["winx"]["slots"]),
+                found=con(fac["winx"]["found"]),
+            )
         pre = jax.tree_util.tree_map(sl, wx["pre"])
 
         G = params["features"][rows_kg]  # ONE gather, all levels
@@ -1301,18 +1334,51 @@ def _train_chunk_impl(
         lr_scales = tuple(
             s.lr_level_reduce_ratio ** i for i in range(L)
         )
-        f_n, m_n, v_n = adam_kernel.fused_adam_packed_multi_pre(
-            params["features"],
-            opt_state.m["features"],
-            opt_state.v["features"],
-            g_G.reshape(-1, 128), rows_kg.reshape(-1), pre,
-            lr, bc1, bc2, feat_shapes, lr_scales, eps=s.adam_eps,
-            use_pallas=use_pallas_kernel, n_used=s.n_used,
-            grads_bf16=bf16_update,
-            # per-step stochastic-rounding seed for bf16 tables
-            # (tpu.params_bf16); unused for f32 tables
-            sr_seed=(start_iter + it).astype(jnp.int32),
-        )
+        # per-step stochastic-rounding seed for bf16 tables
+        # (tpu.params_bf16); unused for f32 tables
+        sr_seed = (start_iter + it).astype(jnp.int32)
+        if batch_sharding is not None:
+            # multi-chip: the pallas custom-call cannot be GSPMD-
+            # partitioned, so the update runs REPLICATED inside a shard_map
+            # island; the batch-sharded entry gradients all-gather at its
+            # boundary.  winx entries may carry several corner slots per
+            # 128-lane row, so the per-level path's 16x lanes_to_narrow
+            # narrowing does not apply — instead the cross-chip payload is
+            # halved by shipping bf16 entries whenever the kernel rounds
+            # them to bf16 anyway (grads_bf16), keeping the update
+            # bit-identical to the single-chip bf16 path.
+            g_entries = g_G.reshape(-1, 128)
+            if bf16_update:
+                g_entries = g_entries.astype(jnp.bfloat16)
+            P = jax.sharding.PartitionSpec
+
+            def upd_winx(p_, m_, v_, g_, rows_, pre_, lr_, bc1_, bc2_, sd_):
+                return adam_kernel.fused_adam_packed_multi_pre(
+                    p_, m_, v_, g_.astype(jnp.float32), rows_, pre_,
+                    lr_, bc1_, bc2_, feat_shapes, lr_scales,
+                    eps=s.adam_eps, use_pallas=use_pallas_kernel,
+                    n_used=s.n_used, grads_bf16=bf16_update, sr_seed=sd_,
+                )
+
+            f_n, m_n, v_n = jax.shard_map(
+                upd_winx, mesh=batch_sharding.mesh,
+                in_specs=P(), out_specs=P(), check_vma=False,
+            )(
+                params["features"], opt_state.m["features"],
+                opt_state.v["features"], g_entries, rows_isl.reshape(-1),
+                pre, lr, bc1, bc2, sr_seed,
+            )
+        else:
+            f_n, m_n, v_n = adam_kernel.fused_adam_packed_multi_pre(
+                params["features"],
+                opt_state.m["features"],
+                opt_state.v["features"],
+                g_G.reshape(-1, 128), rows_kg.reshape(-1), pre,
+                lr, bc1, bc2, feat_shapes, lr_scales, eps=s.adam_eps,
+                use_pallas=use_pallas_kernel, n_used=s.n_used,
+                grads_bf16=bf16_update,
+                sr_seed=sr_seed,
+            )
         params = dict(new_dense)
         params["features"] = f_n
         opt_state = OptState(
@@ -1455,6 +1521,52 @@ def precompute_batch_windows(pre_lookups, n_valid: int, key, settings,
     return {"idx": win_idx, "preps": preps}
 
 
+def estimate_windows_bytes(n_valid: int, settings, feat_shapes, dev_pool,
+                           fused: bool = True, K: int = 4) -> int:
+    """Host-side estimate (bytes) of the device memory a window precompute
+    will hold for the whole run — the driver's OOM guard: window stacks
+    compete with the map tables and the pool for HBM, and the fused layout
+    duplicates the pool CONTENT into (W, bs, ...) stacks.
+
+    Accounts for (per window, summed over W = ceil(n_valid / bs)):
+
+    * fused: the stacked batch content (every stacked pool field's
+      per-sample bytes), rows_kg (L*K int32), kidx/slots (L*8 int8 each),
+      found (L bool), and the global EntryPrep over M = bs*L*K entries
+      (order int32 + trash bool + padded prow int32 + per-tile offsets).
+    * per-level: idx (int32) plus L stacked EntryPreps over M = bs*8
+      entries each.
+
+    Slightly conservative (pads Mpad ~ 1.1x, ignores allocator rounding the
+    other way).  ``K`` defaults to the worst common case; pass the real
+    bucketed value when known.
+    """
+    s = settings
+    L = len(s.levels)
+    bs = s.bs
+    W = max(-(int(n_valid) // -bs), 1)
+    fields = ("coord", "sdf_label", "weight", "time", "normal_label",
+              "origin", "sem_label")
+    per_sample_content = 0
+    for f in fields:
+        a = dev_pool.get(f) if dev_pool is not None else None
+        if a is not None:
+            per_sample_content += int(
+                a.dtype.itemsize * int(np.prod(a.shape[1:], dtype=np.int64))
+            )
+    prep_per_entry = 4 + 1 + 4 * 1.1  # order + trash + padded prow
+    if fused:
+        M = bs * L * K
+        per_window = (
+            bs * (per_sample_content + L * (K * 4 + 8 + 8 + 1))
+            + M * prep_per_entry
+        )
+    else:
+        M = bs * 8
+        per_window = bs * 4 + L * M * prep_per_entry
+    return int(W * per_window)
+
+
 def max_unique_prows(pre_lookups, feat_dims) -> int:
     """Max number of DISTINCT packed (R, 128) rows the 8 corners of any
     pool sample touch at any level.  Growth allocates a node's corners
@@ -1475,7 +1587,8 @@ def max_unique_prows(pre_lookups, feat_dims) -> int:
 
 
 def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
-                                   settings, feat_shapes):
+                                   settings, feat_shapes,
+                                   w_bucket: bool = False):
     """Epoch windows in the fused-gather, K-deduplicated layout (the
     fastest single-chip path — experiments/exp_r3_winx.py).
 
@@ -1497,11 +1610,20 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
       kernel dispatch over all levels.
 
     Memory: ~230 B/sample (on par with the per-level windows prep, whose
-    pre_lookups it can replace).  Single-chip only: the multi-slot entry
-    gradients cannot ride the narrow-lane DP all-gather, so data-parallel
-    runs keep :func:`precompute_batch_windows`.  Pass the result as
+    pre_lookups it can replace).  Data-parallel runs are supported with
+    REPLICATED tables: the forward shards over the batch dim and the
+    update island all-gathers the (bs, L*K, 128) entry gradients at its
+    boundary (bf16 when the kernel rounds them anyway — winx entries may
+    carry several corner slots per packed row, so the per-level path's
+    16x lane narrowing does not apply).  Pass the result as
     ``train_chunk(..., batch_windows=...)``; invalidation contract is the
     same (recompute on growth / pool rotation).
+
+    ``w_bucket``: round the window count W up to a power of two by tiling
+    the permutation (wrapping duplicates, like the tail window) — the
+    incremental driver's pool grows every frame, so an exact W would re-jit
+    this precompute AND the training scan per frame; bucketing bounds the
+    executable count to O(log pool) per capacity level.
     """
     s = settings
     L = len(s.levels)
@@ -1522,6 +1644,11 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
         feat_shapes, s.bs * L * K, s.n_used)
 
     W = max(-(int(n_valid) // -s.bs), 1)
+    if w_bucket:
+        Wb = 1
+        while Wb < W:
+            Wb *= 2
+        W = Wb
     perm = jax.random.permutation(key, n_valid)
     if W * s.bs > n_valid:
         reps = -((W * s.bs) // -n_valid)
@@ -1575,11 +1702,19 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
             # pad/miss entries: zero grads, rows spread EVENLY over the
             # level's whole used head (a modulo spread leaves them bunched
             # in the first bs*K rows and overflows those tiles' windows —
-            # bench: 186 tiles at >2w entries, forcing the XLA fallback)
-            flat = jnp.arange(bs * K, dtype=jnp.int32).reshape(bs, K)
-            # overflow-safe even spread (flat * (Rus-1) exceeds int32)
-            q, r = divmod(max(Rus[i] - 1, 1), bs * K)
-            spread = flat * q + (flat * r) // (bs * K)
+            # bench: 186 tiles at >2w entries, forcing the XLA fallback).
+            # All inputs are static, so the spread is computed HOST-SIDE in
+            # int64 and embedded as an int32 constant: every in-graph int32
+            # formulation overflows somewhere (flat * (Rus-1) directly; the
+            # old quotient/remainder split in its flat * r term once
+            # bs*K > ~46341 — exactly the bs 32768 configuration, where the
+            # negative rows failed entry_prep_multi's coverage check and
+            # silently ran the XLA fallback every iteration)
+            spread = jnp.asarray(
+                (np.arange(bs * K, dtype=np.int64) * max(Rus[i] - 1, 1))
+                // (bs * K),
+                dtype=jnp.int32,
+            ).reshape(bs, K)
             rows_g = jnp.where(valid_k, rows_k, spread) + int(roffs[i])
             rows_kg.append(rows_g)
             kidx_all.append(kidx)
@@ -1618,8 +1753,6 @@ def pool_to_device(pool, capacity: int, settings: TrainSettings, subset=None):
     ``subset``: optional host index array — upload only those samples (the
     rotating sub-pool path for datasets larger than the device budget).
     """
-    import numpy as np
-
     if subset is not None:
         pool = _subset_pool(pool, subset)
     n = len(pool)

@@ -427,25 +427,159 @@ def test_winx_chunk_split_consistency():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_winx_gate_rejects_sharding():
-    """winx is single-chip only: passing batch_sharding must raise."""
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("params_bf16", [False, True])
+def test_winx_sharded_matches_single_device(params_bf16):
+    """The fused-window (winx) layout under data parallelism: the
+    batch-sharded entry gradients all-gather at the update island's
+    boundary and the replicated kernel consumes the same precomputed
+    EntryPrep — an 8-device run must match single-device (identical
+    windows => identical batches; only float reduction order differs, and
+    for bf16 tables the stochastic-rounding seed is iteration-derived so
+    both runs round the same values with the same bits)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    if len(jax.devices()) < 2:
-        pytest.skip("needs >1 virtual device")
     (grid, settings, params, opt_state, dev_pool, n_valid,
-     feat_shapes, tables, pre) = _winx_setup(seed=13, n=1000)
+     feat_shapes, tables, pre) = _winx_setup(seed=31)
     wx = trainer.precompute_batch_windows_fused(
         pre, dev_pool, int(n_valid), jax.random.PRNGKey(1), settings,
         feat_shapes)
-    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
-    with pytest.raises(ValueError, match="single-chip"):
-        trainer.train_chunk(
-            params, opt_state, tables, dev_pool,
-            trainer.empty_shadow(params["features"]),
-            n_valid, jnp.int32(0), jax.random.PRNGKey(0), settings, 2,
-            batch_windows=wx,
-            batch_sharding=NamedSharding(mesh, P("data")))
+    if params_bf16:
+        params = dict(params, features=tuple(
+            f.astype(jnp.bfloat16) for f in params["features"]))
+        opt_state = init_opt_state(params, moments_bf16=True)
+    key = jax.random.PRNGKey(2)
+    shadow = trainer.empty_shadow(params["features"])
+
+    def copy(p):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
+
+    p1, _, aux1 = trainer.train_chunk(
+        copy(params), copy(opt_state), tables, dev_pool, shadow,
+        n_valid, jnp.int32(0), key, settings, 5, batch_windows=wx,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    put = lambda x: jax.device_put(x, repl)
+    p8, _, aux8 = trainer.train_chunk(
+        put(copy(params)), put(copy(opt_state)), put(tables),
+        put(dev_pool), put(shadow), put(n_valid), jnp.int32(0), key,
+        settings, 5, batch_windows=put(wx), batch_sharding=batch_sh,
+    )
+    np.testing.assert_allclose(
+        float(aux1["mean"]["total_loss"]), float(aux8["mean"]["total_loss"]),
+        rtol=1e-4,
+    )
+    for a, b in zip(p1["features"], p8["features"]):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if params_bf16:
+            # reduction-order f32 noise can flip individual stochastic
+            # roundings; bound by one bf16 quantum
+            tol = np.maximum(np.abs(a) * 2.0 ** -7, 1e-6)
+            assert (np.abs(a - b) <= tol).mean() > 0.999
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_estimate_windows_bytes_tracks_actual():
+    """The driver's OOM guard must bound the real device footprint of both
+    window layouts to within ~2x (it only gates a fallback decision)."""
+    (grid, settings, params, _, dev_pool, n_valid,
+     feat_shapes, tables, pre) = _winx_setup(seed=3, n=3000)
+    key = jax.random.PRNGKey(1)
+
+    wx = trainer.precompute_batch_windows_fused(
+        pre, dev_pool, int(n_valid), key, settings, feat_shapes)
+    K = wx["rows_kg"].shape[-1] // len(settings.levels)
+    actual = sum(
+        leaf.nbytes for leaf in jax.tree_util.tree_leaves(wx)
+    )
+    est = trainer.estimate_windows_bytes(
+        int(n_valid), settings, feat_shapes, dev_pool, fused=True, K=K)
+    assert 0.5 * actual <= est <= 2.0 * actual, (est, actual)
+
+    win = trainer.precompute_batch_windows(
+        pre, int(n_valid), key, settings, feat_shapes)
+    actual_w = sum(
+        leaf.nbytes for leaf in jax.tree_util.tree_leaves(win)
+    )
+    est_w = trainer.estimate_windows_bytes(
+        int(n_valid), settings, feat_shapes, dev_pool, fused=False)
+    assert 0.5 * actual_w <= est_w <= 2.0 * actual_w, (est_w, actual_w)
+
+
+def test_winx_w_bucket_rounds_to_pow2_and_trains():
+    """w_bucket=True (the incremental driver's recompile bound): the window
+    count rounds up to a power of two by wrapping the permutation; every
+    pool sample still appears, and training runs."""
+    (grid, settings, params, opt_state, dev_pool, n_valid,
+     feat_shapes, tables, pre) = _winx_setup(seed=7, n=1300)
+    wx = trainer.precompute_batch_windows_fused(
+        pre, dev_pool, int(n_valid), jax.random.PRNGKey(1), settings,
+        feat_shapes, w_bucket=True)
+    W = wx["idx"].shape[0]
+    assert W & (W - 1) == 0, f"W={W} not a power of two"
+    assert W >= -(int(n_valid) // -settings.bs)
+    idx = np.asarray(wx["idx"]).reshape(-1)
+    assert len(np.unique(idx)) == int(n_valid)
+    p, o, aux = trainer.train_chunk(
+        params, opt_state, tables, dev_pool,
+        trainer.empty_shadow(params["features"]),
+        n_valid, jnp.int32(0), jax.random.PRNGKey(2), settings, 3,
+        batch_windows=wx)
+    assert np.isfinite(float(aux["mean"]["total_loss"]))
+
+
+def test_winx_pad_spread_no_int32_overflow():
+    """Regression (round-3 advisor finding): the pad-entry spread used an
+    in-graph int32 quotient/remainder split whose remainder term
+    flat * r overflows once bs*K > ~46341 (bs 32768, K 4 in production),
+    yielding NEGATIVE pad rows that fail entry_prep_multi's coverage check
+    — pre.ok false — and silently running the XLA fallback every
+    iteration.  The spread is now computed host-side in int64; this pins
+    pre.ok (and in-range rows) at a size that overflows the old code."""
+    C, D = 1 << 20, 8  # R = 65536 packed rows -> remainder ~65535
+    bs = 16384         # with K = 4: bs*K = 65536 > 46341
+    feat_shapes = ((C, D),)
+    settings = trainer.TrainSettings(
+        bs=bs, levels=(2,), poly_int_on=False, main_loss_type="sdf_bce",
+        loss_reduction="mean", loss_weight_on=False, sigma_sigmoid=0.05,
+        scale=1.0, feature_update="pallas",
+    )
+    n = bs  # one window
+    # half the samples span 4 packed rows (k_raw = 4 -> K = 4), half share
+    # ONE packed row so 3 of their K slots are PAD entries that take the
+    # spread path
+    b = np.arange(n, dtype=np.int64)
+    base = (b * 16) % (C - 64)
+    multi = base[:, None] + np.array([0, 1, 16, 17, 32, 33, 48, 49])
+    single = base[:, None] + np.arange(8)
+    corners = np.where((b % 2 == 0)[:, None], multi, single).astype(np.int32)
+    found = np.ones(n, bool)
+    found[::97] = False  # a few misses -> more pad entries
+    pre_lookups = ((jnp.asarray(corners), jnp.asarray(found)),)
+    dev_pool = {
+        "coord": jnp.zeros((n, 3), jnp.float32),
+        "sdf_label": jnp.zeros((n,), jnp.float32),
+        "weight": jnp.ones((n,), jnp.float32),
+        "time": jnp.zeros((n,), jnp.float32),
+    }
+    wx = trainer.precompute_batch_windows_fused(
+        pre_lookups, dev_pool, n, jax.random.PRNGKey(0), settings,
+        feat_shapes)
+    K = wx["rows_kg"].shape[-1] // 1
+    assert K == 4 and bs * K > 46341
+    rows = np.asarray(wx["rows_kg"])
+    assert rows.min() >= 0, "pad spread produced negative rows (overflow)"
+    assert rows.max() < C * D // 128
+    ok = np.asarray(wx["pre"].ok)
+    assert ok.all(), (
+        "pre.ok false: pad spread overflowed the tile windows — the "
+        "fused-window path would silently run the XLA fallback"
+    )
 
 
 @pytest.mark.parametrize("grads_bf16", [False, True])

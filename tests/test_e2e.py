@@ -4,6 +4,7 @@ import os
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from shine_mapping_tpu.config import SHINEConfig
 from shine_mapping_tpu.data import io
@@ -299,18 +300,22 @@ def test_batch_driver_deterministic(synth_root, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("update_mode,bf16m,windows",
-                         [("fused", False, False),
-                          ("pallas", True, False),
-                          ("pallas", True, True)])
+@pytest.mark.parametrize("update_mode,bf16m,windows,pbf16",
+                         [("fused", False, False, False),
+                          ("pallas", True, False, False),
+                          ("pallas", True, True, False),
+                          ("pallas", True, True, True)])
 def test_resume_from_full_checkpoint(synth_root, tmp_path, update_mode,
-                                     bf16m, windows):
+                                     bf16m, windows, pbf16):
     """True resume: a run interrupted at iter 100 and resumed to 200 must
     reproduce the uninterrupted 200-iter run — optimizer moments, iteration
     counter, and (fold_in-keyed) batch draws all continue.  (The reference
     restarts Adam and the LR schedule on load, shine_batch.py:45-55.)
     The bf16 variant additionally exercises the uint16-bit-pattern moment
-    serialization through the real driver."""
+    serialization through the real driver; the params_bf16 variant covers
+    bf16 TABLES across the resume (the checkpoint's f32 features are the
+    exact upcast, so the restore-time cast back is bit-identical and the
+    SR seed continues from the absolute iteration)."""
     from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
 
     # uninterrupted reference run: 200 iters, checkpoint written at 100
@@ -320,8 +325,11 @@ def test_resume_from_full_checkpoint(synth_root, tmp_path, update_mode,
     cfg.feature_update = update_mode
     cfg.moments_bf16 = bf16m
     cfg.batch_windows = windows  # windows: resume continues the epoch seq
+    cfg.params_bf16 = pbf16
     run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
     n_corners_0 = grid.host_levels[0].n_corners
+    if pbf16:
+        assert params["features"][0].dtype == jnp.bfloat16
 
     # resumed run: restart from the iter-100 checkpoint, continue to 200
     cfg2 = small_cfg(synth_root, str(tmp_path / "resumed"))
@@ -331,7 +339,11 @@ def test_resume_from_full_checkpoint(synth_root, tmp_path, update_mode,
     cfg2.feature_update = update_mode
     cfg2.moments_bf16 = bf16m
     cfg2.batch_windows = windows
+    cfg2.params_bf16 = pbf16
     run_path2, grid2, params2 = run_shine_mapping_batch(cfg=cfg2)
+    if pbf16:
+        # the resumed run must KEEP the bf16 map (no silent f32 downgrade)
+        assert params2["features"][0].dtype == jnp.bfloat16
 
     # restored structure grew from (identical) frames -> same corner count
     assert grid2.host_levels[0].n_corners == n_corners_0
@@ -343,7 +355,8 @@ def test_resume_from_full_checkpoint(synth_root, tmp_path, update_mode,
     )
     for a, b in zip(params["features"], params2["features"]):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-4, atol=1e-5
         )
 
     # loss continuity in the metrics stream: resumed run's first record is
@@ -461,6 +474,59 @@ def test_batch_driver_icra_losses_windows_end_to_end(synth_root, tmp_path):
     import json
     recs = [json.loads(l) for l in open(run_path + "/metrics.jsonl")]
     assert "loss/eikonal_loss" in recs[-1]
+    mesh_path = run_path + f"/mesh/mesh_iter_{cfg.iters}.ply"
+    gt = synth.gt_surface_points(100_000)
+    gt_path = str(tmp_path / "gt.ply")
+    io.write_ply(gt_path, io.PointCloud(points=gt))
+    m = eval_mesh(
+        mesh_path, gt_path, down_sample_res=0.05, threshold=0.2,
+        truncation_acc=0.4, truncation_com=2.0, mesh_sample_point=300_000,
+    )
+    print({k: round(v, 4) for k, v in m.items()})
+    assert m["Chamfer_L1 (m)"] < 0.15, m
+    assert m["F-score (%)"] > 75.0, m
+
+
+def test_batch_driver_windows_hbm_guard(synth_root, tmp_path, capsys):
+    """A window precompute that would blow the HBM budget must degrade to
+    iid batches (with a message) instead of OOMing mid-run."""
+    from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.iters = 100
+    cfg.feature_update = "pallas"
+    cfg.batch_windows = True
+    cfg.windows_hbm_budget_gb = 1e-6  # force the guard
+    run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
+    out = capsys.readouterr().out
+    assert "per-level window layout" in out
+    assert "falling back to iid batches" in out
+    import json
+    recs = [json.loads(l) for l in open(run_path + "/metrics.jsonl")]
+    assert np.isfinite(recs[-1]["loss/total_loss"])
+
+
+def test_batch_driver_winx_data_parallel_end_to_end(synth_root, tmp_path,
+                                                    capsys):
+    """The flagship fused-window layout (winx + bf16 tables) under an
+    8-device data-parallel mesh through the REAL batch driver: the driver
+    must keep the winx path (not fall back to per-level windows) and land
+    the same quality gates as single-chip."""
+    from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.mesh_shape = 8
+    cfg.feature_update = "pallas"
+    cfg.batch_windows = True
+    cfg.moments_bf16 = True
+    cfg.params_bf16 = True  # only enabled when the winx layout is active
+    cfg.vis_freq_iters = cfg.iters
+    run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
+    out = capsys.readouterr().out
+    assert "data-parallel over 8 devices" in out
+    assert "bf16 map mode" in out  # proves use_winx held under DP
+    assert params["features"][0].dtype == jnp.bfloat16
+
     mesh_path = run_path + f"/mesh/mesh_iter_{cfg.iters}.ply"
     gt = synth.gt_surface_points(100_000)
     gt_path = str(tmp_path / "gt.ply")

@@ -205,6 +205,59 @@ def test_pallas_mode_sharded_matches_single_device():
         assert np.all(np.asarray(f[-1]) == 0)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("layout", ["replicated", "rows"])
+def test_sparse_mode_sharded_matches_single_device(layout):
+    """feature_update='sparse' (lazy touched-rows Adam — the compact-
+    gradient multi-chip path, BENCH_NOTES round-2 plan #4) under data
+    parallelism: the global segment-sum + unique-row scatter is GSPMD-
+    partitioned (the all-gathered payload is the ~B*8-entry segment list,
+    not a dense grad table) and must track the single-device sparse run —
+    for replicated AND row-sharded (giant-map) tables."""
+    from shine_mapping_tpu.parallel import mesh as pmesh
+
+    pool, surf = make_sphere_pool(1500, seed=17)
+    cfg = default_cfg(bs=1024)
+    grid, settings, params, opt_state, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="sparse"
+    )
+    shadow = trainer.empty_shadow(params["features"])
+    key = jax.random.PRNGKey(4)
+
+    def copy(p):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
+
+    p1, o1, aux1 = trainer.train_chunk(
+        copy(params), init_opt_state(params), tuple(grid.tables), dev_pool,
+        shadow, n_valid, jnp.int32(0), key, settings, 5,
+    )
+
+    dp_mesh = pmesh.make_data_mesh(8)
+    p_sh, o_sh, tables_sh, pool_sh, shadow_sh = pmesh.place_training_state(
+        dp_mesh, copy(params), init_opt_state(params), tuple(grid.tables),
+        dev_pool, shadow, table_sharding=layout,
+    )
+    p8, o8, aux8 = trainer.train_chunk(
+        p_sh, o_sh, tables_sh, pool_sh, shadow_sh,
+        n_valid, jnp.int32(0), key, settings, 5,
+        batch_sharding=pmesh.batch_sharded(dp_mesh),
+    )
+    np.testing.assert_allclose(
+        float(aux1["mean"]["total_loss"]), float(aux8["mean"]["total_loss"]),
+        rtol=1e-4,
+    )
+    for a, b in zip(p1["features"], p8["features"]):
+        a, b = np.asarray(a), np.asarray(b)
+        mismatch = np.mean(np.abs(a - b) > 2e-4)
+        assert mismatch < 0.01, f"{mismatch:.4f} of elements diverged"
+        np.testing.assert_allclose(a, b, atol=5e-2)
+        # lazy Adam must keep the trashbin row exactly zero
+        assert np.all(b[-1] == 0)
+    # moments agree too (lazy-Adam state is part of the contract)
+    for a, b in zip(o1.m["features"], o8.m["features"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2)
+
+
 def test_graft_entry_compiles():
     import importlib.util
 
