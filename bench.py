@@ -144,21 +144,30 @@ def main() -> None:
         # kernel's row-only prep precomputed per window; documented
         # sampling delta).  The one-off window precompute is reported to
         # stderr and excluded from ms/iter, like the lookup precompute.
-        bf16m = mode.startswith("pallas_bf16m")
-        windows = mode.endswith("_win")
+        # "..._ek" = the PRODUCTION loss configuration: the ICRA'23 repro
+        # configs enable the eikonal term (config_icra2023/
+        # maicity_batch.yaml: ekional_loss_on true), which adds a second
+        # forward/backward for the point gradients.  Measured separately so
+        # the recorded gate number covers the config the comparison
+        # contract actually runs.
+        ek = mode.endswith("_ek")
+        base = mode[:-3] if ek else mode
+        bf16m = base.startswith("pallas_bf16m")
+        windows = base.endswith("_win")
         # "..._winx" = fused-gather window layout (K-deduplicated packed
         # rows, batch content stacked per window, ONE gather + ONE
         # multi-level kernel dispatch per iteration — trainer.body_winx);
         # "..._winxp" additionally stores the TABLES bf16 with a
         # stochastic-rounding update (tpu.params_bf16 — half map memory,
         # half sweep parameter traffic)
-        winxp = mode.endswith("_winxp")
-        winx = mode.endswith("_winx") or winxp
+        winxp = base.endswith("_winxp")
+        winx = base.endswith("_winx") or winxp
         bf16m = bf16m or winxp
         settings = trainer.TrainSettings.from_config(
             cfg, grid.levels,
-            feature_update="pallas" if (bf16m or windows or winx) else mode,
+            feature_update="pallas" if (bf16m or windows or winx) else base,
             n_used=trainer.used_rows_for(grid, granularity=64),
+            ekional_loss_on=ek,
         )
         params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
         # train_chunk donates params; keep grid.features intact for the
@@ -236,10 +245,11 @@ def main() -> None:
 
 
 # known-best order: if a later mode wedges the tunnel, the best candidates
-# have already banked their results
+# have already banked their results.  The _ek row is the PRODUCTION (ICRA
+# eikonal-on) configuration — reported alongside the BCE-only headline.
 ORCHESTRATED_MODES = (
-    "pallas_bf16m_winxp", "pallas_bf16m_winx", "pallas_bf16m_win",
-    "pallas_bf16m", "pallas", "fused", "sparse",
+    "pallas_bf16m_winxp", "pallas_bf16m_winxp_ek", "pallas_bf16m_winx",
+    "pallas_bf16m_win", "pallas_bf16m", "pallas", "fused", "sparse",
 )
 
 
@@ -262,6 +272,7 @@ def orchestrate() -> None:
         "SHINE_BENCH_BUDGET_S", "600" if tiny else "3600"))
     deadline = time.time() + budget
     best = None
+    bank = {}
     for i, mode in enumerate(ORCHESTRATED_MODES):
         remaining = deadline - time.time()
         if remaining < (30 if tiny else 120):
@@ -295,12 +306,26 @@ def orchestrate() -> None:
         rec["mode"] = mode
         print(f"[bench] mode {mode}: {rec['value']} {rec['unit']}",
               file=sys.stderr, flush=True)
-        if best is None or rec["value"] > best["value"]:
+        bank[mode] = rec
+        # headline stays the BCE-only best (comparable across rounds); the
+        # production eikonal-on row rides alongside
+        if not mode.endswith("_ek") and (
+                best is None or rec["value"] > best["value"]):
             best = rec
     if best is None:
         print("[bench] no mode completed", file=sys.stderr, flush=True)
         raise SystemExit(1)
-    print(json.dumps(best))
+    final = dict(best)
+    prod = bank.get("pallas_bf16m_winxp_ek")
+    if prod is not None:
+        final["production_icra_eikonal"] = {
+            "mode": prod["mode"],
+            "value": prod["value"],
+            "unit": prod["unit"],
+            "vs_baseline": prod["vs_baseline"],
+        }
+    final["modes"] = {m: r["value"] for m, r in bank.items()}
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":

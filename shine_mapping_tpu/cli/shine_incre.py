@@ -151,6 +151,7 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
         # recompiles share train_chunk's growth boundaries (same static
         # shapes), so no extra executables in steady state
         pre_lookups = None
+        batch_windows = None
         if (cfg.precompute_lookups
                 and cfg.iters * cfg.bs >= PRECOMPUTE_WORK_RATIO * capacity
                 # sparse/dense chunks ignore pre_lookups — don't pay a
@@ -161,12 +162,38 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
                 tables, dev_pool["coord"], tuple(grid.levels),
                 tuple(f.shape[0] for f in grid.features),
             )
+            # per-frame epoch windows on the fused-gather layout (the
+            # flagship iteration): the SAME work predicate as the lookups
+            # gates it — window prep is ~2 more pool sweeps.  W is bucketed
+            # to a power of two so the growing pool re-jits O(log) times,
+            # not every frame.  Continual-reg frames resolve to the fused
+            # update, where batch_windows_ok is false — replay mode only.
+            use_winx = (
+                cfg.batch_windows and cfg.windows_fused
+                and trainer.batch_windows_ok(settings, feat_shapes)
+                and (batch_sharding is None
+                     or cfg.table_sharding == "replicated")
+                and trainer.estimate_windows_bytes(
+                    int(n_valid), settings, feat_shapes, dev_pool,
+                    fused=True)
+                <= cfg.windows_hbm_budget_gb * (1 << 30)
+            )
+            if use_winx:
+                batch_windows = trainer.precompute_batch_windows_fused(
+                    pre_lookups, dev_pool, int(n_valid),
+                    jax.random.fold_in(key, 0x5157), settings, feat_shapes,
+                    w_bucket=True,
+                )
+                if processed_frame == 0:
+                    print("per-frame fused epoch windows on "
+                          f"({batch_windows['idx'].shape[0]} windows)")
         key, k = jax.random.split(key)
         params, opt_state, aux = trainer.train_chunk(
             params, opt_state, tables, dev_pool, shadow,
             n_valid, jnp.int32(0), k, settings, cfg.iters,
             batch_sharding=batch_sharding,
             pre_lookups=pre_lookups,
+            batch_windows=batch_windows,
         )
         jax.block_until_ready(aux["mean"]["total_loss"])
         total_iter += cfg.iters
