@@ -159,9 +159,14 @@ def main() -> None:
         # multi-level kernel dispatch per iteration — trainer.body_winx);
         # "..._winxp" additionally stores the TABLES bf16 with a
         # stochastic-rounding update (tpu.params_bf16 — half map memory,
-        # half sweep parameter traffic)
-        winxp = base.endswith("_winxp")
-        winx = base.endswith("_winx") or winxp
+        # half sweep parameter traffic); "..._winxs"/"..._winxsp" = the
+        # round-4 split-K layout (multi-row samples in a static prefix,
+        # single-row tail — ~3x fewer gather rows and kernel entries;
+        # tpu.windows_split_k), without / with bf16 tables
+        winxsp = base.endswith("_winxsp")
+        winxs = base.endswith("_winxs") or winxsp
+        winxp = base.endswith("_winxp") or winxsp
+        winx = base.endswith("_winx") or winxp or winxs
         bf16m = bf16m or winxp
         settings = trainer.TrainSettings.from_config(
             cfg, grid.levels,
@@ -185,9 +190,13 @@ def main() -> None:
             if winx:
                 batch_windows = trainer.precompute_batch_windows_fused(
                     pre_lookups, dev_pool, n_pool, jax.random.PRNGKey(7),
-                    settings, feat_shapes,
+                    settings, feat_shapes, split_k=winxs,
                 )
                 _ = float(batch_windows["pre"].ok[-1])  # readback fence
+                if winxs:
+                    assert "rows_hi" in batch_windows, "split_k fell back"
+                    assert bool(np.all(np.asarray(
+                        batch_windows["split_ok"]))), "split tail not 1-row"
             else:
                 batch_windows = trainer.precompute_batch_windows(
                     pre_lookups, n_pool, jax.random.PRNGKey(7), settings,
@@ -248,6 +257,7 @@ def main() -> None:
 # have already banked their results.  The _ek row is the PRODUCTION (ICRA
 # eikonal-on) configuration — reported alongside the BCE-only headline.
 ORCHESTRATED_MODES = (
+    "pallas_bf16m_winxsp", "pallas_bf16m_winxsp_ek",
     "pallas_bf16m_winxp", "pallas_bf16m_winxp_ek", "pallas_bf16m_winx",
     "pallas_bf16m_win", "pallas_bf16m", "pallas", "fused", "sparse",
 )
@@ -316,7 +326,8 @@ def orchestrate() -> None:
         print("[bench] no mode completed", file=sys.stderr, flush=True)
         raise SystemExit(1)
     final = dict(best)
-    prod = bank.get("pallas_bf16m_winxp_ek")
+    ek_rows = [bank[m] for m in bank if m.endswith("_ek")]
+    prod = max(ek_rows, key=lambda r: r["value"]) if ek_rows else None
     if prod is not None:
         final["production_icra_eikonal"] = {
             "mode": prod["mode"],

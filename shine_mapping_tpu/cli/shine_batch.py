@@ -237,9 +237,13 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         wkey = jax.random.fold_in(key, 0x5157)
         if use_winx:
             # fused-gather window layout (one gather + one kernel dispatch
-            # per iteration; same windows/batches as the per-level prep)
+            # per iteration; same windows/batches as the per-level prep).
+            # split_k: the multi-row samples reorder into a static prefix
+            # and the tail gathers one row per level (~3x fewer gather
+            # rows; BENCH_NOTES round 4)
             return trainer.precompute_batch_windows_fused(
                 pre, dev_pool, int(n_live), wkey, settings, feat_shapes,
+                split_k=cfg.windows_split_k,
             )
         est_win = trainer.estimate_windows_bytes(
             int(n_live), settings, feat_shapes, dev_pool, fused=False)

@@ -179,10 +179,12 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
                 <= cfg.windows_hbm_budget_gb * (1 << 30)
             )
             if use_winx:
+                # split_k's prefix size P is pow2-bucketed like W, so the
+                # growing pool re-jits O(log) times on this axis too
                 batch_windows = trainer.precompute_batch_windows_fused(
                     pre_lookups, dev_pool, int(n_valid),
                     jax.random.fold_in(key, 0x5157), settings, feat_shapes,
-                    w_bucket=True,
+                    w_bucket=True, split_k=cfg.windows_split_k,
                 )
                 if processed_frame == 0:
                     print("per-frame fused epoch windows on "

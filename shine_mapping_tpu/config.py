@@ -257,6 +257,17 @@ class SHINEConfig:
     # gradients); row-sharded (giant-map) runs fall back to the per-level
     # window layout automatically.
     windows_fused: bool = True
+    # with windows_fused, the round-4 split-K layout: 96.8-99.95% of
+    # samples touch a single packed row per level (growth allocates a
+    # node's corners contiguously), so each window's few multi-row samples
+    # are reordered into a static pow2 prefix and the tail gathers exactly
+    # ONE row per level — ~3x fewer forward gather rows and kernel entries
+    # at bench shapes.  Same window membership / epoch permutation
+    # (order within a window changes, which only reassociates the loss
+    # mean).  Falls back to the plain fused layout automatically when the
+    # prefix would exceed bs/4 — so default ON (measured 3.21 -> 2.14
+    # ms/iter on the bench world; BENCH_NOTES round 4).
+    windows_split_k: bool = True
     # HBM budget (GiB) for the window precompute's device arrays (the
     # fused layout stacks the batch CONTENT per window, ~230 B/sample over
     # the whole pool — trainer.estimate_windows_bytes).  When the estimate
@@ -385,7 +396,7 @@ class SHINEConfig:
             "scan_chunk", "mesh_shape", "feature_update",
             "fuse_update_levels", "moments_bf16", "sort_batch",
             "precompute_lookups", "batch_windows", "windows_fused",
-            "params_bf16", "windows_hbm_budget_gb",
+            "windows_split_k", "params_bf16", "windows_hbm_budget_gb",
             "profile_dir",
             "coordinator", "num_processes", "process_id", "table_sharding",
             "shard_ingest", "init_node_capacity", "init_corner_capacity",
@@ -408,6 +419,8 @@ class SHINEConfig:
             "tpu", "precompute_lookups", self.precompute_lookups)
         self.batch_windows = opt("tpu", "batch_windows", self.batch_windows)
         self.windows_fused = opt("tpu", "windows_fused", self.windows_fused)
+        self.windows_split_k = opt(
+            "tpu", "windows_split_k", self.windows_split_k)
         self.params_bf16 = opt("tpu", "params_bf16", self.params_bf16)
         self.windows_hbm_budget_gb = float(opt(
             "tpu", "windows_hbm_budget_gb", self.windows_hbm_budget_gb))

@@ -414,6 +414,50 @@ def _feat_winx(c, G, wx, s: TrainSettings):
     return f
 
 
+def _feat_winx_split(c, G_hi, G_lo, wx, s: TrainSettings):
+    """Split-K fused-window interpolation (round 4).
+
+    The window's samples are reordered so the few that touch more than
+    K_lo packed rows per level sit in a static P-slot prefix
+    (``precompute_batch_windows_fused(split_k=True)``); ``G_hi`` (P, L*K,
+    128) are the prefix's K gathered rows (the :func:`_feat_winx` path) and
+    ``G_lo`` (bs-P, L*K_lo, 128) the tail's — for K_lo == 1 (miss-heavy
+    pools) the trilinear sum collapses to an elementwise lane-masked
+    product (kidx is all zero by construction; no einsum, no dot
+    rounding), otherwise the tail is the same K-row path at width K_lo.
+    Same reference semantics as :func:`_feat_winx` (hierarchical
+    interpolation, model/feature_octree.py:172-244), minus the
+    provably-zero terms.
+    """
+    P = G_hi.shape[0]
+    L = len(s.levels)
+    K_lo = G_lo.shape[1] // L
+    D = wx["feat_dims"][0]
+    PACK = 128 // D
+    wx_hi = dict(wx, kidx=wx["kidx"][:P], slots=wx["slots"][:P],
+                 found=wx["found"][:P])
+    f_hi = _feat_winx(c[:P], G_hi, wx_hi, s)
+    ct = c[P:]
+    wx_lo = dict(wx, K=K_lo, kidx=wx["kidx"][P:], slots=wx["slots"][P:],
+                 found=wx["found"][P:])
+    if K_lo > 1:
+        f_lo = _feat_winx(ct, G_lo, wx_lo, s)
+        return jnp.concatenate([f_hi, f_lo], axis=0)
+    lanegrp = jnp.arange(128, dtype=jnp.int32) // D
+    f_lo = None
+    for i, level in enumerate(s.levels):
+        w8 = corner_weights(ct, level, s.poly_int_on)
+        w8 = jnp.where(wx["found"][P:, i][:, None], w8, 0.0)
+        sl_i = wx["slots"][P:, i * 8:(i + 1) * 8]
+        w_m = jnp.where(lanegrp[None, None, :] == sl_i[:, :, None],
+                        w8[:, :, None], 0.0)
+        w_lane = jnp.sum(w_m, axis=1)  # (B, 128)
+        c128 = w_lane * G_lo[:, i, :]
+        fi = c128.reshape(-1, PACK, D).sum(axis=1)
+        f_lo = fi if f_lo is None else f_lo + fi
+    return jnp.concatenate([f_hi, f_lo], axis=0)
+
+
 def _feat_from_rows(c, G_l, found_l, s: TrainSettings, slots_l=None,
                     feat_dims=None):
     """Interpolated hierarchical feature from pre-gathered corner rows.
@@ -464,6 +508,8 @@ def _compute_loss_sparse(dense_params, G_list, G_near, batch, fac, key, s: Train
 
     def feat_of(c):
         if winx is not None:
+            if winx.get("split"):
+                return _feat_winx_split(c, G_list[0], G_list[1], winx, s)
             return _feat_winx(c, G_list, winx, s)
         return _feat_from_rows(c, G_list, found, s, slots, feat_dims)
 
@@ -675,7 +721,8 @@ def train_chunk(
     """
     feat_shapes = tuple(tuple(f.shape) for f in params["features"])
     mode = _resolve_mode(settings, feat_shapes)
-    winx = batch_windows is not None and "rows_kg" in batch_windows
+    winx = batch_windows is not None and (
+        "rows_kg" in batch_windows or "rows_hi" in batch_windows)
     if batch_windows is not None and not winx and not (
         batch_windows_ok(settings, feat_shapes)
         and pre_lookups is not None
@@ -1269,7 +1316,8 @@ def _train_chunk_impl(
         key, k_idx, k_loss = jax.random.split(key, 3)
         del k_idx
         wx = batch_windows
-        W = wx["rows_kg"].shape[0]
+        split = "rows_hi" in wx
+        W = (wx["rows_hi"] if split else wx["rows_kg"]).shape[0]
         wsel = jnp.mod(start_iter + it, W)
 
         def sl(a):
@@ -1277,13 +1325,23 @@ def _train_chunk_impl(
 
         batch = {k2: sl(v) for k2, v in wx["pool"].items()}
         batch["ts"] = batch.pop("time", None)
-        rows_kg = sl(wx["rows_kg"])
-        # replicated copy of the entry rows for the update island (the
-        # forward copy below may be batch-sharded)
-        rows_isl = rows_kg
         L = len(s.levels)
+        if split:
+            rows_hi = sl(wx["rows_hi"])
+            rows_lo = sl(wx["rows_lo"])
+            rows_flat = jnp.concatenate(
+                [rows_hi.reshape(-1), rows_lo.reshape(-1)])
+            Kw = rows_hi.shape[1] // L
+        else:
+            rows_kg = sl(wx["rows_kg"])
+            rows_flat = rows_kg.reshape(-1)
+            Kw = rows_kg.shape[1] // L
+        # replicated copy of the entry rows for the update island (the
+        # forward copies below may be batch-sharded)
+        rows_isl = rows_flat
         fac = {"winx": {
-            "K": rows_kg.shape[1] // L,
+            "K": Kw,
+            "split": split,
             "feat_dims": tuple(sh[1] for sh in feat_shapes),
             "kidx": sl(wx["kidx"]).astype(jnp.int32),
             "slots": sl(wx["slots"]).astype(jnp.int32),
@@ -1299,7 +1357,11 @@ def _train_chunk_impl(
 
             batch = {k2: (con(v) if v is not None else None)
                      for k2, v in batch.items()}
-            rows_kg = con(rows_kg)
+            if split:
+                rows_hi = con(rows_hi)
+                rows_lo = con(rows_lo)
+            else:
+                rows_kg = con(rows_kg)
             fac["winx"] = dict(
                 fac["winx"],
                 kidx=con(fac["winx"]["kidx"]),
@@ -1308,11 +1370,19 @@ def _train_chunk_impl(
             )
         pre = jax.tree_util.tree_map(sl, wx["pre"])
 
-        G = params["features"][rows_kg]  # ONE gather, all levels
+        if split:
+            # TWO gathers (prefix K rows + tail single rows) — ~3x fewer
+            # rows than the plain fused layout (BENCH_NOTES round 4)
+            G = (params["features"][rows_hi], params["features"][rows_lo])
+        else:
+            G = params["features"][rows_kg]  # ONE gather, all levels
         dense_params = {k: v for k, v in params.items() if k != "features"}
         (loss, aux), (g_dense, g_G) = jax.value_and_grad(
             _compute_loss_sparse, argnums=(0, 1), has_aux=True
         )(dense_params, G, (), batch, fac, k_loss, s)
+        g_entries = (jnp.concatenate([g_G[0].reshape(-1, 128),
+                                      g_G[1].reshape(-1, 128)])
+                     if split else g_G.reshape(-1, 128))
 
         lr = lr_at_step(
             s.lr, start_iter + it, s.lr_decay_step, s.lr_iters_reduce_ratio
@@ -1347,7 +1417,6 @@ def _train_chunk_impl(
             # halved by shipping bf16 entries whenever the kernel rounds
             # them to bf16 anyway (grads_bf16), keeping the update
             # bit-identical to the single-chip bf16 path.
-            g_entries = g_G.reshape(-1, 128)
             if bf16_update:
                 g_entries = g_entries.astype(jnp.bfloat16)
             P = jax.sharding.PartitionSpec
@@ -1365,7 +1434,7 @@ def _train_chunk_impl(
                 in_specs=P(), out_specs=P(), check_vma=False,
             )(
                 params["features"], opt_state.m["features"],
-                opt_state.v["features"], g_entries, rows_isl.reshape(-1),
+                opt_state.v["features"], g_entries, rows_isl,
                 pre, lr, bc1, bc2, sr_seed,
             )
         else:
@@ -1373,7 +1442,7 @@ def _train_chunk_impl(
                 params["features"],
                 opt_state.m["features"],
                 opt_state.v["features"],
-                g_G.reshape(-1, 128), rows_kg.reshape(-1), pre,
+                g_entries, rows_flat, pre,
                 lr, bc1, bc2, feat_shapes, lr_scales, eps=s.adam_eps,
                 use_pallas=use_pallas_kernel, n_used=s.n_used,
                 grads_bf16=bf16_update,
@@ -1388,7 +1457,8 @@ def _train_chunk_impl(
         )
         return (params, opt_state, key), aux
 
-    winx = batch_windows is not None and "rows_kg" in batch_windows
+    winx = batch_windows is not None and (
+        "rows_kg" in batch_windows or "rows_hi" in batch_windows)
     if winx:
         body = body_winx
     elif mode in ("fused", "pallas"):
@@ -1586,9 +1656,28 @@ def max_unique_prows(pre_lookups, feat_dims) -> int:
     return int(_m(pre_lookups))
 
 
+@functools.partial(jax.jit, static_argnames=("feat_dims",))
+def _pool_max_nuniq(pre_lookups, feat_dims):
+    """(N,) int32 — per pool sample, the MAX over levels of the number of
+    distinct packed rows its 8 corners touch (1..8).  Drives the split-K
+    window layout's K_lo selection: corners shared between neighboring
+    nodes make a node's rows irreducibly fragmented on found-dominated
+    pools (street world: mean ~3, p99 7 — renumbering cannot fix it, both
+    Morton and node-major orders measure the same ~3), while miss samples
+    and sparse pools are single-row; the split sorts the heavy tail into a
+    static prefix so everyone else gathers fewer rows."""
+    mx = None
+    for i, (c, _) in enumerate(pre_lookups):
+        pr = jnp.sort(c // (128 // feat_dims[i]), axis=1)
+        nun = 1 + jnp.sum(pr[:, 1:] != pr[:, :-1], axis=1)
+        mx = nun if mx is None else jnp.maximum(mx, nun)
+    return mx.astype(jnp.int32)
+
+
 def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
                                    settings, feat_shapes,
-                                   w_bucket: bool = False):
+                                   w_bucket: bool = False,
+                                   split_k: bool = False):
     """Epoch windows in the fused-gather, K-deduplicated layout (the
     fastest single-chip path — experiments/exp_r3_winx.py).
 
@@ -1624,6 +1713,21 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
     incremental driver's pool grows every frame, so an exact W would re-jit
     this precompute AND the training scan per frame; bucketing bounds the
     executable count to O(log pool) per capacity level.
+
+    ``split_k``: the round-4 split-K layout.  Each window's samples are
+    stably reordered so the few whose max-over-levels distinct-row count
+    exceeds an auto-chosen K_lo occupy a static pow2 prefix of P slots;
+    the prefix gathers K rows per level (``rows_hi`` (P, L*K)) and the
+    tail K_lo (``rows_lo`` (bs-P, L*K_lo)) — cutting the forward gather
+    and the kernel's entry count.  K_lo is the smallest pow2 whose
+    over-K_lo prefix fits bs/4 in every window: miss-heavy pools (the
+    bench world: 97% of samples single-row) land at K_lo = 1 (~3x fewer
+    rows, measured 3.23 -> 2.13 ms/iter); found-dominated pools (street
+    world: corner sharing makes node rows irreducibly ~3-wide) land at
+    K_lo = K/2.  Window membership and the epoch permutation are
+    unchanged (the loss is order-invariant within a batch up to f32
+    reassociation of the mean).  Falls back to the plain fused layout
+    when even K_lo = K/2 would overflow the prefix cap.
     """
     s = settings
     L = len(s.levels)
@@ -1640,8 +1744,6 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
     K = 2
     while K < k_raw:
         K *= 2
-    Rs, Rus, roffs, _tb, _w, _rm, _lv = adam_kernel._multi_geometry(
-        feat_shapes, s.bs * L * K, s.n_used)
 
     W = max(-(int(n_valid) // -s.bs), 1)
     if w_bucket:
@@ -1660,6 +1762,38 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
         # batches identical for equivalence tests)
         win_idx = jnp.sort(win_idx, axis=1)
 
+    P, K_lo = 0, K
+    if split_k:
+        # K_lo: smallest pow2 tail width whose over-K_lo prefix stays small
+        # (<= bs/4 in every window) — the tail gathers K_lo rows per level
+        # instead of K.  Found-dominated pools (street world) land at
+        # K_lo = K/2 (corner sharing makes node rows irreducibly ~3-wide,
+        # see _pool_max_nuniq); miss-heavy pools land at K_lo = 1.
+        nun = _pool_max_nuniq(pre_lookups, feat_dims)
+        nun_w = nun[win_idx]  # (W, bs)
+        for cand in [1 << j for j in range(K.bit_length()) if (1 << j) < K]:
+            n_hi_max = int(jnp.max(jnp.sum(nun_w > cand, axis=1)))
+            Pc = 8
+            while Pc < n_hi_max:
+                Pc *= 2
+            if Pc <= s.bs // 4:
+                K_lo, P = cand, Pc
+                break
+        if P == 0:
+            # even K/2 tails would overflow the prefix cap: the split buys
+            # nothing; use the plain fused layout
+            split_k = False
+            K_lo = K
+        else:
+            # stable: keeps each segment in the existing window order (and
+            # so sorted when sort_batch is on)
+            order = jnp.argsort(nun_w <= K_lo, axis=1, stable=True)
+            win_idx = jnp.take_along_axis(win_idx, order, axis=1)
+    M_entries = ((P * K + (s.bs - P) * K_lo) * L if split_k
+                 else s.bs * L * K)
+    Rs, Rus, roffs, _tb, _w, _rm, _lv = adam_kernel._multi_geometry(
+        feat_shapes, M_entries, s.n_used)
+
     stack_fields = [
         f for f in ("coord", "sdf_label", "weight", "time", "normal_label",
                     "origin", "sem_label")
@@ -1673,6 +1807,7 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
         out = {"pool": {f: pool_stack[f][idx] for f in stack_fields}}
         bs = s.bs
         rows_kg, kidx_all, slots_all, found_all, zero_all = [], [], [], [], []
+        rows_hi, rows_lo, zero_hi, zero_lo, split_ok = [], [], [], [], []
         for i in range(L):
             PACK = 128 // feat_dims[i]
             corners = pre_lu[i][0][idx]
@@ -1710,25 +1845,58 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
             # bs*K > ~46341 — exactly the bs 32768 configuration, where the
             # negative rows failed entry_prep_multi's coverage check and
             # silently ran the XLA fallback every iteration)
-            spread = jnp.asarray(
-                (np.arange(bs * K, dtype=np.int64) * max(Rus[i] - 1, 1))
-                // (bs * K),
-                dtype=jnp.int32,
-            ).reshape(bs, K)
-            rows_g = jnp.where(valid_k, rows_k, spread) + int(roffs[i])
-            rows_kg.append(rows_g)
+            if split_k:
+                # split-K: entries per level = P*K (prefix) + (bs-P)*K_lo
+                # (tail, <= K_lo distinct rows by construction of the
+                # reorder); one even pad spread covers the combined set
+                M_l = P * K + (bs - P) * K_lo
+                spread = jnp.asarray(
+                    (np.arange(M_l, dtype=np.int64) * max(Rus[i] - 1, 1))
+                    // M_l,
+                    dtype=jnp.int32,
+                )
+                sp_hi = spread[: P * K].reshape(P, K)
+                sp_lo = spread[P * K:].reshape(bs - P, K_lo)
+                vh, vl = valid_k[:P], valid_k[P:, :K_lo]
+                rows_hi.append(
+                    jnp.where(vh, rows_k[:P], sp_hi) + int(roffs[i]))
+                rows_lo.append(
+                    jnp.where(vl, rows_k[P:, :K_lo], sp_lo) + int(roffs[i]))
+                zero_hi.append(~vh)
+                zero_lo.append(~vl)
+                # the tail MUST fit K_lo rows (the reorder guarantees it);
+                # a violation would silently drop corner gradients
+                split_ok.append(jnp.all(nuniq[P:] <= K_lo))
+            else:
+                spread = jnp.asarray(
+                    (np.arange(bs * K, dtype=np.int64) * max(Rus[i] - 1, 1))
+                    // (bs * K),
+                    dtype=jnp.int32,
+                ).reshape(bs, K)
+                rows_g = jnp.where(valid_k, rows_k, spread) + int(roffs[i])
+                rows_kg.append(rows_g)
+                zero_all.append(~valid_k)
             kidx_all.append(kidx)
             slots_all.append(slots8)
             found_all.append(found)
-            zero_all.append(~valid_k)
-        rows_kg = jnp.concatenate(rows_kg, axis=1)
-        zero_mask = jnp.concatenate(zero_all, axis=1).reshape(-1)
-        out["rows_kg"] = rows_kg
         out["kidx"] = jnp.concatenate(kidx_all, axis=1)
         out["slots"] = jnp.concatenate(slots_all, axis=1)
         out["found"] = jnp.stack(found_all, axis=1)
+        if split_k:
+            out["rows_hi"] = jnp.concatenate(rows_hi, axis=1)
+            out["rows_lo"] = jnp.concatenate(rows_lo, axis=1)
+            out["split_ok"] = jnp.all(jnp.stack(split_ok))
+            prow = jnp.concatenate([out["rows_hi"].reshape(-1),
+                                    out["rows_lo"].reshape(-1)])
+            zero_mask = jnp.concatenate(
+                [jnp.concatenate(zero_hi, axis=1).reshape(-1),
+                 jnp.concatenate(zero_lo, axis=1).reshape(-1)])
+        else:
+            out["rows_kg"] = jnp.concatenate(rows_kg, axis=1)
+            prow = out["rows_kg"].reshape(-1)
+            zero_mask = jnp.concatenate(zero_all, axis=1).reshape(-1)
         out["pre"] = adam_kernel.entry_prep_multi(
-            rows_kg.reshape(-1), zero_mask, feat_shapes, s.n_used)
+            prow, zero_mask, feat_shapes, s.n_used)
         return out
 
     @jax.jit

@@ -846,3 +846,204 @@ def test_winx_params_bf16_gate():
             params, opt_state, tuple(grid.tables), dev_pool,
             trainer.empty_shadow(params["features"]),
             n_valid, jnp.int32(0), jax.random.PRNGKey(0), settings, 2)
+
+
+# ------------------------------------------------------------- split-K mode
+# (round 4: windows_split_k — 96.8-99.95% of samples touch ONE packed row
+# per level, so each window reorders the multi-row samples into a static
+# pow2 prefix; the tail gathers exactly one row per level, cutting forward
+# gather rows and kernel entries ~3x.  BENCH_NOTES round 4.)
+
+
+def _winxs_pre(setup, key=None, **kw):
+    (grid, settings, params, opt_state, dev_pool, n_valid,
+     feat_shapes, tables, pre) = setup
+    key = key if key is not None else jax.random.PRNGKey(1)
+    return trainer.precompute_batch_windows_fused(
+        pre, dev_pool, int(n_valid), key, settings, feat_shapes,
+        split_k=True, **kw)
+
+
+def test_winxs_structure():
+    """Split windows hold the same samples as the plain fused windows
+    (reordered), the tail really is single-row per level (split_ok), the
+    kernel prep covers (pre.ok), and the encoded structure reconstructs
+    every found corner's packed row exactly."""
+    setup = _winxs_setup_maybe_split()
+    (grid, settings, params, _, dev_pool, n_valid,
+     feat_shapes, tables, pre) = setup
+    key = jax.random.PRNGKey(1)
+    wx = trainer.precompute_batch_windows_fused(
+        pre, dev_pool, int(n_valid), key, settings, feat_shapes)
+    ws = _winxs_pre(setup, key)
+    assert "rows_hi" in ws and "rows_kg" not in ws
+    assert bool(np.all(np.asarray(ws["split_ok"])))
+    assert bool(np.all(np.asarray(ws["pre"].ok)))
+    # same window membership, reordered
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(wx["idx"]), axis=1),
+        np.sort(np.asarray(ws["idx"]), axis=1))
+
+    L = len(settings.levels)
+    K = ws["rows_hi"].shape[-1] // L
+    K_lo = ws["rows_lo"].shape[-1] // L
+    P = ws["rows_hi"].shape[1]
+    assert P & (P - 1) == 0
+    assert K_lo < K
+    from shine_mapping_tpu.ops.adam_kernel import _multi_geometry
+    bs = settings.bs
+    M = (P * K + (bs - P) * K_lo) * L
+    Rs, Rus, roffs, *_ = _multi_geometry(feat_shapes, M, settings.n_used)
+    for wsel in range(min(3, ws["idx"].shape[0])):
+        idx = np.asarray(ws["idx"][wsel])
+        for i in range(L):
+            D = feat_shapes[i][1]
+            PACK = 128 // D
+            corners = np.asarray(pre[i][0])[idx]
+            found = np.asarray(pre[i][1])[idx]
+            kidx = np.asarray(ws["kidx"][wsel])[:, i * 8:(i + 1) * 8]
+            slots = np.asarray(ws["slots"][wsel])[:, i * 8:(i + 1) * 8]
+            rows_hi = np.asarray(ws["rows_hi"][wsel])[:, i * K:(i + 1) * K]
+            rows_lo = np.asarray(
+                ws["rows_lo"][wsel])[:, i * K_lo:(i + 1) * K_lo]
+            want = corners // PACK + int(roffs[i])
+            # prefix: rows_hi[kidx] recovers each corner's packed row
+            got_hi = np.take_along_axis(
+                rows_hi, kidx[:P].astype(np.int64), axis=1)
+            np.testing.assert_array_equal(
+                got_hi[found[:P]], want[:P][found[:P]])
+            # tail: at most K_lo distinct rows; rows_lo[kidx] recovers them
+            assert kidx[P:].max() < K_lo
+            got_lo = np.take_along_axis(
+                rows_lo, kidx[P:].astype(np.int64), axis=1)
+            tail_found = found[P:]
+            np.testing.assert_array_equal(
+                got_lo[tail_found], want[P:][tail_found])
+            np.testing.assert_array_equal(
+                slots[found], (corners % PACK)[found])
+
+
+def _winxs_setup_maybe_split(seed=5, n=2000, bs=256):
+    return _winx_setup(seed=seed, n=n, bs=bs)
+
+
+def test_winxs_matches_winx_trajectory():
+    """Split-K vs plain fused windows: identical window membership, the
+    same math minus provably-zero terms — trajectories must agree to f32
+    reassociation noise."""
+    setup = _winxs_setup_maybe_split()
+    (grid, settings, params, opt_state, dev_pool, n_valid,
+     feat_shapes, tables, pre) = setup
+    key = jax.random.PRNGKey(1)
+    wx = trainer.precompute_batch_windows_fused(
+        pre, dev_pool, int(n_valid), key, settings, feat_shapes)
+    ws = _winxs_pre(setup, key)
+
+    def copy(p):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
+
+    k = jax.random.PRNGKey(2)
+    shadow = trainer.empty_shadow(params["features"])
+    p1, _, aux1 = trainer.train_chunk(
+        copy(params), init_opt_state(params), tables, dev_pool, shadow,
+        n_valid, jnp.int32(0), k, settings, 8, batch_windows=wx)
+    p2, _, aux2 = trainer.train_chunk(
+        copy(params), init_opt_state(params), tables, dev_pool, shadow,
+        n_valid, jnp.int32(0), k, settings, 8, batch_windows=ws)
+    np.testing.assert_allclose(
+        float(aux1["mean"]["total_loss"]), float(aux2["mean"]["total_loss"]),
+        rtol=1e-6)
+    for a, b in zip(p1["features"], p2["features"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_winxs_chunk_split_consistency():
+    """Resume continuity for the split layout: chunked runs bit-equal the
+    single run."""
+    setup = _winxs_setup_maybe_split(seed=9, n=1500)
+    (grid, settings, params, opt_state, dev_pool, n_valid,
+     feat_shapes, tables, pre) = setup
+    ws = _winxs_pre(setup)
+    key = jax.random.PRNGKey(2)
+
+    def run(splits):
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        o = jax.tree_util.tree_map(jnp.copy, opt_state)
+        start = 0
+        for n in splits:
+            p, o, aux = trainer.train_chunk(
+                p, o, tables, dev_pool, trainer.empty_shadow(p["features"]),
+                n_valid, jnp.int32(start), key, settings, n,
+                batch_windows=ws)
+            start += n
+        return p
+
+    p_once = run([6])
+    p_split = run([2, 4])
+    for a, b in zip(p_once["features"], p_split["features"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_winxs_with_eikonal_trains_finite():
+    """The split layout under the production (eikonal-on) loss: the
+    coordinate gradient flows through both segments' interpolation."""
+    pool, surf = make_sphere_pool(2000, seed=5)
+    cfg = default_cfg(bs=256)
+    grid, settings, params, opt_state, dev_pool, n_valid = build(
+        cfg, pool, surf, feature_update="pallas", ekional_loss_on=True
+    )
+    feat_shapes = tuple(tuple(f.shape) for f in params["features"])
+    tables = tuple(grid.tables)
+    caps = tuple(f.shape[0] for f in params["features"])
+    pre = trainer.precompute_pool_lookups(
+        tables, dev_pool["coord"], tuple(grid.levels), caps)
+    ws = trainer.precompute_batch_windows_fused(
+        pre, dev_pool, int(n_valid), jax.random.PRNGKey(1), settings,
+        feat_shapes, split_k=True)
+    p, o, aux = trainer.train_chunk(
+        params, opt_state, tables, dev_pool,
+        trainer.empty_shadow(params["features"]),
+        n_valid, jnp.int32(0), jax.random.PRNGKey(2), settings, 4,
+        batch_windows=ws)
+    assert np.isfinite(float(aux["mean"]["total_loss"]))
+    assert np.isfinite(float(aux["mean"]["eikonal_loss"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_winxs_sharded_matches_single_device():
+    """Split-K under data parallelism: prefix and tail shard over their
+    sample dims; the all-gathered entry gradients (now ~3x smaller than
+    plain winx) feed the replicated kernel."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    setup = _winxs_setup_maybe_split(seed=31)
+    (grid, settings, params, opt_state, dev_pool, n_valid,
+     feat_shapes, tables, pre) = setup
+    ws = _winxs_pre(setup)
+    key = jax.random.PRNGKey(2)
+    shadow = trainer.empty_shadow(params["features"])
+
+    def copy(p):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
+
+    p1, _, aux1 = trainer.train_chunk(
+        copy(params), copy(opt_state), tables, dev_pool, shadow,
+        n_valid, jnp.int32(0), key, settings, 5, batch_windows=ws,
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    put = lambda x: jax.device_put(x, repl)
+    p8, _, aux8 = trainer.train_chunk(
+        put(copy(params)), put(copy(opt_state)), put(tables),
+        put(dev_pool), put(shadow), put(n_valid), jnp.int32(0), key,
+        settings, 5, batch_windows=put(ws), batch_sharding=batch_sh,
+    )
+    np.testing.assert_allclose(
+        float(aux1["mean"]["total_loss"]), float(aux8["mean"]["total_loss"]),
+        rtol=1e-4)
+    for a, b in zip(p1["features"], p8["features"]):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-4, atol=1e-5)
