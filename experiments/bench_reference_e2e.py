@@ -111,14 +111,15 @@ def build_world_and_pool(cfg):
 
 
 def run_ours(cfg, grid, dataset, windows: bool = False, tag: str = "ours",
-             winxp: bool = False):
+             winxp: bool = False, split_k: bool = False):
     """Train + mesh with this framework; returns (mesh_path, seconds).
 
     ``windows=True`` exercises the tpu.batch_windows sampling mode (epoch
     windows + precomputed kernel prep) so its documented sampling delta
     gets a quality row against the reference too; ``winxp=True`` runs the
     full round-3 production stack on top (fused-window layout + bf16
-    moments + bf16 tables with stochastic rounding)."""
+    moments + bf16 tables with stochastic rounding); ``split_k=True``
+    adds the round-4 split-K window layout (the full round-4 stack)."""
     import jax
     import jax.numpy as jnp
 
@@ -151,6 +152,7 @@ def run_ours(cfg, grid, dataset, windows: bool = False, tag: str = "ours",
             batch_windows = trainer.precompute_batch_windows_fused(
                 pre_lookups, dev_pool, int(n_valid),
                 jax.random.PRNGKey(5157), settings, feat_shapes,
+                split_k=split_k,
             )
             pre_lookups = None
         else:
@@ -351,6 +353,12 @@ def main() -> None:
     wxp_mesh, wxp_train_s, wxp_mesh_s, _ = run_ours(
         cfg, grid, dataset, windows=True, tag="ours_winxp", winxp=True
     )
+    # fourth "ours" pass: the FULL round-4 stack (+ split-K windows)
+    grid.features = [jnp.asarray(f) for f in init_feats]
+    wxs_mesh, wxs_train_s, wxs_mesh_s, _ = run_ours(
+        cfg, grid, dataset, windows=True, tag="ours_winxsp", winxp=True,
+        split_k=True,
+    )
     ref_mesh, ref_train_s, ref_mesh_s = run_reference(cfg, dataset, mesher)
 
     gt = synth.gt_surface_points(100_000)
@@ -362,6 +370,7 @@ def main() -> None:
     m_ours = eval_mesh(ours_mesh, gt_path, **eval_kw)
     m_win = eval_mesh(win_mesh, gt_path, **eval_kw)
     m_wxp = eval_mesh(wxp_mesh, gt_path, **eval_kw)
+    m_wxs = eval_mesh(wxs_mesh, gt_path, **eval_kw)
     m_ref = eval_mesh(ref_mesh, gt_path, **eval_kw)
 
     result = {
@@ -399,6 +408,17 @@ def main() -> None:
             "points_per_s": round(cfg.iters * cfg.bs / wxp_train_s, 1),
             # full round-3 production stack (fused windows + bf16 moments +
             # bf16 tables/stochastic rounding); quality row only on CPU
+            "note": "CPU timing = XLA fallbacks; quality row only",
+        },
+        "ours_winxsp": {
+            "chamfer_l1_m": m_wxs["Chamfer_L1 (m)"],
+            "f_score_pct": m_wxs["F-score (%)"],
+            "mae_acc_m": m_wxs.get("MAE_accuracy (m)"),
+            "train_s": round(wxs_train_s, 2),
+            "mesh_s": round(wxs_mesh_s, 2),
+            "points_per_s": round(cfg.iters * cfg.bs / wxs_train_s, 1),
+            # full round-4 stack (split-K fused windows + bf16 tables);
+            # quality row only on CPU
             "note": "CPU timing = XLA fallbacks; quality row only",
         },
         "reference": {

@@ -10,6 +10,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -71,7 +72,10 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     grid, loaded_decoders, freeze, loaded_opt, start_iter = maybe_load_model(cfg, grid)
     dataset = LiDARDataset(cfg, grid)
 
-    vis = MapVisualizer() if cfg.o3d_vis_on else None
+    # with o3d_vis_on but no Open3D in the image, the visualizer renders
+    # offscreen PNG frames into the run dir instead of opening a window
+    vis = (MapVisualizer(snapshot_dir=os.path.join(run_path, "vis"))
+           if cfg.o3d_vis_on else None)
 
     # ---------------------------------------------------------------- data phase
     print("Load, preprocess and sample data")

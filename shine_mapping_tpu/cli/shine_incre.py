@@ -12,6 +12,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -73,7 +74,10 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
     # 108-109), so only the map/decoders restore — opt state is ignored
     grid, loaded_decoders, loaded_freeze, _, _ = maybe_load_model(cfg, grid)
     dataset = LiDARDataset(cfg, grid)
-    vis = MapVisualizer() if cfg.o3d_vis_on else None
+    # with o3d_vis_on but no Open3D in the image, the visualizer renders
+    # offscreen PNG frames into the run dir instead of opening a window
+    vis = (MapVisualizer(snapshot_dir=os.path.join(run_path, "vis"))
+           if cfg.o3d_vis_on else None)
 
     params = trainer.init_params(cfg, grid, jax.random.PRNGKey(cfg.seed))
     if loaded_decoders:

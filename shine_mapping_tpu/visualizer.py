@@ -13,9 +13,16 @@ and the latest mesh, with key controls —
 * [B]/[W]  black / white background
 
 The control state machine is plain Python (``handle_key``/``wait_if_paused``)
-so it is unit-testable headless; Open3D is only needed to actually draw.
-Without Open3D (the TPU image default) the class degrades to a no-op with
-the same API and all drivers run with ``o3d_vis_on: False``.
+so it is unit-testable headless; Open3D is only needed for the interactive
+window.  Without Open3D (the TPU image default) the class degrades to a
+no-op with the same API and all drivers run with ``o3d_vis_on: False``.
+
+Headless rendering: :meth:`render_offscreen` draws the same scene (scan
+points golden, pose axes, Lambert-shaded mesh) to a PNG with a pure
+numpy+PIL software rasterizer (painter's algorithm) — no display, no
+Open3D — honoring the same control state (render_scan / render_map /
+background / ego-vs-global camera).  This is the draw path that CAN run
+in this image; the o3d window branch shares its scene state.
 """
 
 from __future__ import annotations
@@ -59,7 +66,8 @@ KEY_WHITE = "W"
 class MapVisualizer:
     """Non-blocking visualizer; headless no-op without open3d."""
 
-    def __init__(self, frame_axis_len: float = 0.8) -> None:
+    def __init__(self, frame_axis_len: float = 0.8,
+                 snapshot_dir: Optional[str] = None) -> None:
         # control state (headless-testable)
         self.playing = True          # [SPACE]
         self.step_once = False       # [N] while paused
@@ -69,12 +77,24 @@ class MapVisualizer:
         self.render_map = True       # [M]
         self.background = "white"    # [B]/[W]
         self.frame_axis_len = frame_axis_len
+        # headless snapshot mode: without Open3D, each update() renders
+        # an offscreen PNG frame here instead of drawing a window
+        self.snapshot_dir = snapshot_dir
+        self._snap_count = 0
+        self._last_mesh = None
 
         self._vis = None
         self._saved_camera = None
         self._reset_bounding_box = True
         if not _HAS_O3D:
-            print("open3d not available: visualizer runs headless (no-op)")
+            if snapshot_dir:
+                import os as _os
+
+                _os.makedirs(snapshot_dir, exist_ok=True)
+                print(f"open3d not available: visualizer renders offscreen "
+                      f"PNG frames to {snapshot_dir}")
+            else:
+                print("open3d not available: visualizer runs headless (no-op)")
             return
         self._init_window()  # pragma: no cover — requires a display
 
@@ -170,6 +190,18 @@ class MapVisualizer:
     # ---------------------------------------------------------------- API
     def update(self, scan_pc=None, pose: Optional[np.ndarray] = None, mesh=None) -> None:
         if self._vis is None:
+            if self.snapshot_dir is not None:
+                import os as _os
+
+                # keep showing the latest mesh between mesh updates, like
+                # the window does
+                self._last_mesh = mesh if mesh is not None else self._last_mesh
+                self.render_offscreen(
+                    _os.path.join(self.snapshot_dir,
+                                  f"vis_{self._snap_count:04d}.png"),
+                    scan_pc=scan_pc, pose=pose, mesh=self._last_mesh,
+                )
+                self._snap_count += 1
             return
         # pragma: no cover — requires a display
         if scan_pc is not None:
@@ -218,6 +250,113 @@ class MapVisualizer:
 
     def update_mesh(self, mesh) -> None:
         self.update(mesh=mesh)
+
+    # ------------------------------------------------------- offscreen draw
+    def render_offscreen(self, path: str, scan_pc=None,
+                         pose: Optional[np.ndarray] = None, mesh=None,
+                         width: int = 960, height: int = 540) -> np.ndarray:
+        """Render the scene to a PNG headlessly (no Open3D, no display).
+
+        Draws what the reference's window shows (utils/visualizer.py:
+        165-192): the latest mesh (Lambert-shaded triangles,
+        painter's-algorithm depth order), the current scan in golden, and
+        the sensor pose frame (RGB = XYZ axes) — honoring the control
+        state: ``render_scan``/``render_map`` toggles, ``background``
+        black/white, and ``global_view`` (overhead camera) vs ego view
+        (camera behind and above the sensor).  Returns the (H, W, 3)
+        uint8 image and writes ``path`` when non-empty.
+        """
+        from PIL import Image, ImageDraw
+
+        bg = 0 if self.background == "black" else 255
+        img = Image.new("RGB", (width, height), (bg, bg, bg))
+        draw = ImageDraw.Draw(img)
+
+        pose = np.eye(4) if pose is None else np.asarray(pose, np.float64)
+        sensor = pose[:3, 3]
+        # camera distances scale with frame_axis_len so the same code
+        # frames metric worlds (axis 0.8 m) and unit-cube worlds alike
+        u = max(self.frame_axis_len, 1e-6)
+        if self.global_view:
+            # overhead: look straight down at the sensor from high up
+            eye = sensor + np.array([0.0, 1e-3, 75.0]) * u
+            up = np.array([0.0, 1.0, 0.0])
+        else:
+            # ego: behind and above the sensor, along its -x heading
+            heading = pose[:3, 0]
+            eye = sensor - 18.0 * u * heading + np.array([0.0, 0.0, 9.0]) * u
+            up = np.array([0.0, 0.0, 1.0])
+        fwd = sensor - eye
+        fwd = fwd / (np.linalg.norm(fwd) + 1e-12)
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right) + 1e-12
+        cup = np.cross(right, fwd)
+        R = np.stack([right, cup, fwd])  # world -> camera rows
+        f = 0.9 * height  # focal (pixels)
+
+        def project(p):
+            """(N,3) world -> (N,2) pixel + (N,) depth (camera z)."""
+            c = (p - eye) @ R.T
+            z = np.maximum(c[:, 2], 1e-6)
+            x = width * 0.5 + f * c[:, 0] / z
+            y = height * 0.5 - f * c[:, 1] / z
+            return np.stack([x, y], 1), c[:, 2]
+
+        if mesh is not None and self.render_map and len(mesh.triangles):
+            v = np.asarray(mesh.vertices, np.float64)
+            t = np.asarray(mesh.triangles, np.int64)
+            px, z = project(v)
+            tz = z[t].mean(axis=1)
+            vis = (z[t] > 0.05).all(axis=1)
+            # triangle normals -> Lambert shade from a fixed light
+            e1 = v[t[:, 1]] - v[t[:, 0]]
+            e2 = v[t[:, 2]] - v[t[:, 0]]
+            n = np.cross(e1, e2)
+            n /= np.linalg.norm(n, axis=1, keepdims=True) + 1e-12
+            light = np.array([0.3, 0.2, 0.93])
+            lam = np.abs(n @ light)
+            if mesh.vertex_colors is not None and len(mesh.vertex_colors):
+                base = np.asarray(mesh.vertex_colors)[t].mean(axis=1)
+            else:
+                base = np.full((t.shape[0], 3), 0.62)
+            shade = np.clip(base * (0.35 + 0.65 * lam[:, None]), 0, 1)
+            order = np.argsort(-tz)  # far -> near (painter)
+            xy = px[t]  # (T, 3, 2)
+            onscreen = (
+                (xy[..., 0].max(axis=1) >= 0) & (xy[..., 0].min(axis=1) < width)
+                & (xy[..., 1].max(axis=1) >= 0) & (xy[..., 1].min(axis=1) < height)
+            )
+            for i in order:
+                if not (vis[i] and onscreen[i]):
+                    continue
+                c = tuple((shade[i] * 255).astype(np.uint8))
+                draw.polygon([tuple(q) for q in xy[i]], fill=c)
+
+        if scan_pc is not None and self.render_scan:
+            pts = np.asarray(
+                getattr(scan_pc, "points", scan_pc), np.float64)
+            if len(pts):
+                px, z = project(pts)
+                keep = (
+                    (z > 0.05) & (px[:, 0] >= 0) & (px[:, 0] < width)
+                    & (px[:, 1] >= 0) & (px[:, 1] < height)
+                )
+                col = tuple((SCAN_COLOR * 255).astype(np.uint8))
+                for x, y in px[keep][np.argsort(-z[keep])]:
+                    draw.ellipse([x - 1, y - 1, x + 1, y + 1], fill=col)
+
+        # pose frame: RGB = XYZ axes
+        org = pose[:3, 3][None]
+        po, _ = project(org)
+        for ax, c in enumerate([(255, 0, 0), (0, 255, 0), (0, 0, 255)]):
+            tip, tz = project(org + self.frame_axis_len * pose[:3, ax][None])
+            if tz[0] > 0.05:
+                draw.line([tuple(po[0]), tuple(tip[0])], fill=c, width=3)
+
+        arr = np.asarray(img)
+        if path:
+            img.save(path)
+        return arr
 
     def stop(self) -> None:
         """End-of-run hold: keep the window open until resume/quit

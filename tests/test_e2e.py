@@ -597,3 +597,28 @@ def test_incremental_driver_eikonal_end_to_end(synth_root, tmp_path):
     recs = [json.loads(l) for l in open(run_path + "/metrics.jsonl")]
     assert all(np.isfinite(r["loss/total_loss"]) for r in recs)
     assert all(np.isfinite(r["loss/eikonal_loss"]) for r in recs)
+
+
+def test_incremental_driver_offscreen_vis(synth_root, tmp_path):
+    """o3d_vis_on without Open3D in the image: the visualizer renders
+    offscreen PNG frames (scan + pose axes + latest mesh) into the run
+    dir — the headless draw path, exercised through the real driver."""
+    from shine_mapping_tpu.cli.shine_incre import run_shine_mapping_incremental
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.iters = 30
+    cfg.end_frame = 2
+    cfg.o3d_vis_on = True
+    cfg.mesh_freq_frame = 1
+    cfg.mc_with_octree = True
+    run_path, grid, params = run_shine_mapping_incremental(cfg=cfg)
+    import glob
+
+    frames = sorted(glob.glob(os.path.join(run_path, "vis", "vis_*.png")))
+    assert len(frames) >= 2, frames
+    from PIL import Image
+
+    img = np.asarray(Image.open(frames[-1]))
+    assert img.ndim == 3 and img.shape[2] == 3
+    # something was drawn (not a blank background)
+    assert (img == 255).all(axis=2).mean() < 0.98
