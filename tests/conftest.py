@@ -25,3 +25,24 @@ jax.config.update("jax_platforms", "cpu")
 # recompiling identical executables on every run
 jax.config.update("jax_compilation_cache_dir", "/tmp/shine_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Keep the process under the kernel's vm.max_map_count (65530).
+
+    Every XLA CPU executable holds a handful of mmap'd JIT code regions
+    and jax's pjit cache never drops them, so a full-suite run
+    monotonically accumulates memory maps and crossed the limit at
+    ~200 executables — LLVM's JIT does not check the failed mmap and
+    SEGFAULTS (diagnosed round 4: three full-suite runs crashed at the
+    same ~500 s position in three different tests, maps ~50-65k and
+    climbing; crash site alternated between executable.serialize and
+    backend_compile_and_load).  Dropping the caches between test modules
+    frees the maps; the persistent compile cache makes the cross-module
+    recompiles cheap deserializations.
+    """
+    yield
+    jax.clear_caches()
