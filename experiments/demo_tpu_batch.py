@@ -133,11 +133,12 @@ def main() -> None:
           flush=True)
 
     cfg_path = os.path.join(out, "cfg.yaml")
-    # SHINE_DEMO_WINDOWS=1 runs the epoch-window sampling mode
-    # (tpu.batch_windows) instead of iid batches;
-    # SHINE_DEMO_PARAMS_BF16=1 additionally stores the tables bf16
-    windows = os.environ.get("SHINE_DEMO_WINDOWS", "0") == "1"
-    params_bf16 = os.environ.get("SHINE_DEMO_PARAMS_BF16", "0") == "1"
+    # the production fast path is the DEFAULT (epoch windows + split-K +
+    # bf16 tables — what the headline bench measures); set
+    # SHINE_DEMO_WINDOWS=0 / SHINE_DEMO_PARAMS_BF16=0 for the iid / f32
+    # ablation runs
+    windows = os.environ.get("SHINE_DEMO_WINDOWS", "1") == "1"
+    params_bf16 = os.environ.get("SHINE_DEMO_PARAMS_BF16", "1") == "1"
     with open(cfg_path, "w") as f:
         f.write(CFG_TMPL.format(out=out, root=root,
                                 windows="true" if windows else "false",

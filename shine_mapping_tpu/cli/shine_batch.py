@@ -243,12 +243,24 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             # fused-gather window layout (one gather + one kernel dispatch
             # per iteration; same windows/batches as the per-level prep).
             # split_k: the multi-row samples reorder into a static prefix
-            # and the tail gathers one row per level (~3x fewer gather
-            # rows; BENCH_NOTES round 4)
-            return trainer.precompute_batch_windows_fused(
+            # and the tail gathers K_lo rows per level (~3x fewer gather
+            # rows on miss-heavy pools; BENCH_NOTES round 4)
+            wx = trainer.precompute_batch_windows_fused(
                 pre, dev_pool, int(n_live), wkey, settings, feat_shapes,
                 split_k=cfg.windows_split_k,
             )
+            L = len(settings.levels)
+            if "rows_hi" in wx:
+                P = wx["rows_hi"].shape[1]
+                print(f"fused windows (split-K): W={wx['idx'].shape[0]} "
+                      f"K={wx['rows_hi'].shape[-1] // L} "
+                      f"K_lo={wx['rows_lo'].shape[-1] // L} P={P}")
+            else:
+                print(f"fused windows: W={wx['idx'].shape[0]} "
+                      f"K={wx['rows_kg'].shape[-1] // L}"
+                      + (" (split-K fell back: prefix would exceed bs/4)"
+                         if cfg.windows_split_k else ""))
+            return wx
         est_win = trainer.estimate_windows_bytes(
             int(n_live), settings, feat_shapes, dev_pool, fused=False)
         if est_win > windows_budget:
