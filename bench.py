@@ -101,7 +101,9 @@ def main() -> None:
     # remote compiles of the train executables
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/shine_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0: persist even sub-second eager-op executables (each costs a
+        # ~0.6 s remote round trip per fresh process through the tunnel)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 

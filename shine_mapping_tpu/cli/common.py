@@ -19,10 +19,14 @@ if os.environ.get("JAX_PLATFORMS"):
         pass
 
 # persistent compile cache: per-frame/per-capacity executables are reused
-# across runs instead of recompiling (remote TPU compiles take 10-60 s each)
+# across runs instead of recompiling (remote TPU compiles take 10-60 s each).
+# Threshold 0: even sub-second eager-op executables persist — a fresh driver
+# process otherwise pays ~100 x ~0.6 s of remote round trips re-compiling
+# trivial scatter/broadcast ops that the 1 s default refuses to cache
+# (measured: the demo's precompute phase dropped ~60 s)
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/shine_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:
     pass
 

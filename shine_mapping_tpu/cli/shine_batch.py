@@ -274,8 +274,9 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             pre, int(n_live), wkey, settings, feat_shapes,
         )
 
-    pre_lookups = make_pre()
-    batch_windows = make_windows(pre_lookups)
+    with timer.phase("precompute"):
+        pre_lookups = make_pre()
+        batch_windows = make_windows(pre_lookups)
     t_train0 = time.time()
     done_iters = start_iter
     profiled = False

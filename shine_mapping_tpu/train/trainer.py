@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -1762,6 +1763,17 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
         # batches identical for equivalence tests)
         win_idx = jnp.sort(win_idx, axis=1)
 
+    import time as _time
+
+    _tw = os.environ.get("SHINE_TIME_WINDOWS", "0") == "1"
+
+    def _stamp(tag, t0):
+        if _tw:
+            print(f"[windows] {tag}: {_time.perf_counter() - t0:.2f}s",
+                  flush=True)
+        return _time.perf_counter()
+
+    _t = _time.perf_counter()
     P, K_lo = 0, K
     if split_k:
         # K_lo: smallest pow2 tail width whose over-K_lo prefix stays small
@@ -1770,6 +1782,7 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
         # K_lo = K/2 (corner sharing makes node rows irreducibly ~3-wide,
         # see _pool_max_nuniq); miss-heavy pools land at K_lo = 1.
         nun = _pool_max_nuniq(pre_lookups, feat_dims)
+        _t = _stamp("pool_max_nuniq", _t)
         nun_w = nun[win_idx]  # (W, bs)
         for cand in [1 << j for j in range(K.bit_length()) if (1 << j) < K]:
             n_hi_max = int(jnp.max(jnp.sum(nun_w > cand, axis=1)))
@@ -1779,6 +1792,7 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
             if Pc <= s.bs // 4:
                 K_lo, P = cand, Pc
                 break
+        _t = _stamp("k_lo_candidates", _t)
         if P == 0:
             # even K/2 tails would overflow the prefix cap: the split buys
             # nothing; use the plain fused layout
@@ -1789,6 +1803,9 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
             # so sorted when sort_batch is on)
             order = jnp.argsort(nun_w <= K_lo, axis=1, stable=True)
             win_idx = jnp.take_along_axis(win_idx, order, axis=1)
+            if _tw:
+                win_idx.block_until_ready()
+            _t = _stamp("reorder", _t)
     M_entries = ((P * K + (s.bs - P) * K_lo) * L if split_k
                  else s.bs * L * K)
     Rs, Rus, roffs, _tb, _w, _rm, _lv = adam_kernel._multi_geometry(
