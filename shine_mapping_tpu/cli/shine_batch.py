@@ -258,7 +258,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             else:
                 print(f"fused windows: W={wx['idx'].shape[0]} "
                       f"K={wx['rows_kg'].shape[-1] // L}"
-                      + (" (split-K fell back: prefix would exceed bs/4)"
+                      + (" (split-K fell back: no split cuts entries 1/8+)"
                          if cfg.windows_split_k else ""))
             return wx
         est_win = trainer.estimate_windows_bytes(

@@ -1675,6 +1675,35 @@ def _pool_max_nuniq(pre_lookups, feat_dims):
     return mx.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("cands",))
+def _max_over_klo(nun_w, cands):
+    """(len(cands),) int32 — per K_lo candidate, the worst window's count
+    of samples needing more than K_lo rows (drives the split-K prefix)."""
+    return jnp.stack(
+        [jnp.max(jnp.sum(nun_w > c, axis=1)) for c in cands])
+
+
+def choose_split_k(n_hi_all, cands, bs: int, K: int):
+    """(K_lo, P) minimizing the per-level entry count M = P*K + (bs-P)*K_lo.
+
+    ``n_hi_all[j]``: the WORST window's count of samples needing more than
+    ``cands[j]`` rows (a static shape — every window shares one layout).
+    P is the pow2 prefix covering that count, capped at bs/2 (the tail
+    must stay the common case); the winner must cut M by >= 1/8 vs the
+    plain fused layout (bs*K) to pay for the dual interpolation path.
+    Returns (K, 0) — no split — when no candidate qualifies."""
+    K_lo, P = K, 0
+    best_m = bs * K - (bs * K) // 8
+    for cand, n_hi_max in zip(cands, n_hi_all):
+        Pc = 8
+        while Pc < int(n_hi_max):
+            Pc *= 2
+        Mc = Pc * K + (bs - Pc) * cand
+        if Pc <= bs // 2 and Mc < best_m:
+            K_lo, P, best_m = cand, Pc, Mc
+    return K_lo, P
+
+
 def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
                                    settings, feat_shapes,
                                    w_bucket: bool = False,
@@ -1720,15 +1749,17 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
     exceeds an auto-chosen K_lo occupy a static pow2 prefix of P slots;
     the prefix gathers K rows per level (``rows_hi`` (P, L*K)) and the
     tail K_lo (``rows_lo`` (bs-P, L*K_lo)) — cutting the forward gather
-    and the kernel's entry count.  K_lo is the smallest pow2 whose
-    over-K_lo prefix fits bs/4 in every window: miss-heavy pools (the
-    bench world: 97% of samples single-row) land at K_lo = 1 (~3x fewer
-    rows, measured 3.23 -> 2.13 ms/iter); found-dominated pools (street
-    world: corner sharing makes node rows irreducibly ~3-wide) land at
-    K_lo = K/2.  Window membership and the epoch permutation are
-    unchanged (the loss is order-invariant within a batch up to f32
-    reassociation of the mean).  Falls back to the plain fused layout
-    when even K_lo = K/2 would overflow the prefix cap.
+    and the kernel's entry count.  (K_lo, P) minimize the per-level entry
+    count M = P*K + (bs-P)*K_lo over pow2 candidates, with P capped at
+    bs/2 and a required >= 1/8 cut vs the plain layout: miss-heavy pools
+    (the bench world: 97% of samples single-row) land at K_lo = 1 with a
+    tiny prefix (~3x fewer rows, measured 3.23 -> 2.13 ms/iter);
+    found-dominated pools (street/city worlds: corner sharing makes node
+    rows irreducibly ~3-wide) land at K_lo = K/2 with a larger prefix
+    (-25% M).  Window membership and the epoch permutation are unchanged
+    (the loss is order-invariant within a batch up to f32 reassociation
+    of the mean).  Falls back to the plain fused layout when no split
+    cuts M by >= 1/8 under the prefix cap.
     """
     s = settings
     L = len(s.levels)
@@ -1776,26 +1807,23 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
     _t = _time.perf_counter()
     P, K_lo = 0, K
     if split_k:
-        # K_lo: smallest pow2 tail width whose over-K_lo prefix stays small
-        # (<= bs/4 in every window) — the tail gathers K_lo rows per level
-        # instead of K.  Found-dominated pools (street world) land at
-        # K_lo = K/2 (corner sharing makes node rows irreducibly ~3-wide,
-        # see _pool_max_nuniq); miss-heavy pools land at K_lo = 1.
+        # K_lo: the tail gathers K_lo rows per level instead of K; the
+        # prefix (sized by the WORST window, a static shape) gathers K.
+        # Found-dominated pools (street/city worlds) land at K_lo = K/2
+        # (corner sharing makes node rows irreducibly ~3-wide, see
+        # _pool_max_nuniq); miss-heavy pools land at K_lo = 1.
         nun = _pool_max_nuniq(pre_lookups, feat_dims)
         _t = _stamp("pool_max_nuniq", _t)
         nun_w = nun[win_idx]  # (W, bs)
-        for cand in [1 << j for j in range(K.bit_length()) if (1 << j) < K]:
-            n_hi_max = int(jnp.max(jnp.sum(nun_w > cand, axis=1)))
-            Pc = 8
-            while Pc < n_hi_max:
-                Pc *= 2
-            if Pc <= s.bs // 4:
-                K_lo, P = cand, Pc
-                break
+        cands = tuple(1 << j for j in range(K.bit_length()) if (1 << j) < K)
+        # all candidates' worst-window prefix sizes in ONE dispatch + ONE
+        # readback (each eager per-candidate reduction costs a tunnel
+        # round trip); choose_split_k picks the entry-minimizing (K_lo, P)
+        n_hi_all = np.asarray(_max_over_klo(nun_w, cands)) if cands else []
+        K_lo, P = choose_split_k(n_hi_all, cands, s.bs, K)
         _t = _stamp("k_lo_candidates", _t)
         if P == 0:
-            # even K/2 tails would overflow the prefix cap: the split buys
-            # nothing; use the plain fused layout
+            # no candidate cuts entries enough: use the plain fused layout
             split_k = False
             K_lo = K
         else:

@@ -1047,3 +1047,32 @@ def test_winxs_sharded_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=1e-4, atol=1e-5)
+
+
+def test_choose_split_k_selection():
+    """choose_split_k picks the entry-minimizing (K_lo, P): tiny prefixes
+    keep K_lo = 1 (miss-heavy pools), found-dominated distributions that
+    overflow small prefixes land K_lo = K/2 with a bs/2 prefix instead of
+    falling back, and distributions where no candidate cuts entries by
+    1/8 return (K, 0)."""
+    bs = 4096
+    # mostly-light pool: K_lo = 2 with a small prefix minimizes M
+    # (128*8 + 3968*2 = 8960 beats K_lo=1's 1024*8 + 3072*1 = 11264)
+    k_lo, p = trainer.choose_split_k([700, 80, 10], (1, 2, 4), bs, 8)
+    assert (k_lo, p) == (2, 128)
+    # miss-heavy at K = 4 (the bench world's shape): K_lo = 1 wins
+    # (256*4 + 7936*1 = 8960 beats K_lo=2's 64*4 + 8128*2 = 16512)
+    k_lo, p = trainer.choose_split_k([250, 40], (1, 2), 8192, 4)
+    assert (k_lo, p) == (1, 256)
+    # found-dominated (city): >bs/4 samples exceed 4 rows in the worst
+    # window under no candidate but K/2 with a bs/2 prefix
+    k_lo, p = trainer.choose_split_k([4000, 3500, 1500], (1, 2, 4), bs, 8)
+    assert (k_lo, p) == (4, 2048)
+    # hopeless: every window nearly all heavy -> no split
+    k_lo, p = trainer.choose_split_k([4096, 4000, 3000], (1, 2, 4), bs, 8)
+    assert (k_lo, p) == (8, 0)
+    # entry-minimizing, not first-fit: K_lo=1 with a bs/2 prefix (M =
+    # 0.5*8 + 0.5*1 = 4.5/sample) beats K_lo=2 with a bs/4 prefix
+    # (M = 0.25*8 + 0.75*2 = 3.5/sample) -- the smaller M wins
+    k_lo, p = trainer.choose_split_k([1500, 1000, 200], (1, 2, 4), bs, 8)
+    assert (k_lo, p) == (2, 1024)
