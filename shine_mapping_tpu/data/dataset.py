@@ -58,6 +58,41 @@ class SamplePool:
         return self.coord.shape[0]
 
 
+class _GrowBuf:
+    """Amortized append buffer (doubling capacity, zero-copy views).
+
+    The batch data phase appends every frame's samples to the pool; a
+    per-frame ``np.concatenate`` of the WHOLE pool is O(total^2) copying
+    (~125 GB of memcpy for the 150-frame / 34.8M-sample city demo, the
+    dominant superlinear term of its data phase).  Appending into a
+    doubling buffer is amortized O(total); the exposed ``buf[:n]`` views
+    are read-only by convention (every consumer copies or re-indexes)."""
+
+    def __init__(self, arr: np.ndarray):
+        self.n = arr.shape[0]
+        cap = 1024
+        while cap < self.n:
+            cap *= 2
+        self.buf = np.empty((cap,) + arr.shape[1:], arr.dtype)
+        self.buf[: self.n] = arr
+
+    def append(self, arr: np.ndarray) -> np.ndarray:
+        need = self.n + arr.shape[0]
+        if need > self.buf.shape[0]:
+            cap = self.buf.shape[0]
+            while cap < need:
+                cap *= 2
+            nb = np.empty((cap,) + self.buf.shape[1:], self.buf.dtype)
+            nb[: self.n] = self.buf[: self.n]
+            self.buf = nb
+        self.buf[self.n: need] = arr
+        self.n = need
+        return self.view()
+
+    def view(self) -> np.ndarray:
+        return self.buf[: self.n]
+
+
 class LiDARDataset:
     def __init__(self, config: SHINEConfig, grid=None):
         self.config = config
@@ -109,12 +144,49 @@ class LiDARDataset:
             self.used_pc_count += 1
 
         self.pool = SamplePool()
-        # merged downsampled map + bounding boxes (dataset/lidar_dataset.py:63-66)
-        self.map_down_pc = io.PointCloud(points=np.zeros((0, 3)))
+        # amortized accumulate buffers (invalidated whenever self.pool is
+        # replaced wholesale — incremental / window-replay paths)
+        self._pool_bufs = None
+        # merged downsampled map + bounding boxes (dataset/lidar_dataset.py:63-66).
+        # The map accumulates as a per-frame LIST, concatenated lazily on
+        # first read (a per-frame whole-map concat is O(total^2) copying;
+        # nothing reads the merged map mid-run — only write_merged_pc);
+        # map_bbx is a running min/max, identical to the whole-map scan
+        self._map_pcs = [io.PointCloud(points=np.zeros((0, 3)))]
+        self._map_pc_cache: Optional[io.PointCloud] = None
+        self._map_len = 0
         self.map_bbx = (np.zeros(3), np.zeros(3))
         self.cur_bbx = (np.zeros(3), np.zeros(3))
         self.cur_frame_pc: Optional[io.PointCloud] = None
         self.cur_pose_ref = np.eye(4)
+
+    @property
+    def map_down_pc(self) -> io.PointCloud:
+        if self._map_pc_cache is None:
+            pcs = self._map_pcs
+            if len(pcs) == 1:
+                self._map_pc_cache = pcs[0]
+            else:
+                # same field semantics as pairwise PointCloud.concat:
+                # an optional column survives only if EVERY piece has it
+                def cat(arrs):
+                    return (None if any(a is None for a in arrs)
+                            else np.concatenate(arrs, axis=0))
+
+                self._map_pc_cache = io.PointCloud(
+                    points=np.concatenate([p.points for p in pcs], axis=0),
+                    normals=cat([p.normals for p in pcs]),
+                    colors=cat([p.colors for p in pcs]),
+                    intensity=cat([p.intensity for p in pcs]),
+                )
+                self._map_pcs = [self._map_pc_cache]
+        return self._map_pc_cache
+
+    @map_down_pc.setter
+    def map_down_pc(self, pc: io.PointCloud) -> None:
+        self._map_pcs = [pc]
+        self._map_pc_cache = pc
+        self._map_len = len(pc)
 
     # ------------------------------------------------------------------ frames
     def frame_ids(self) -> List[int]:
@@ -248,17 +320,22 @@ class LiDARDataset:
         frame_id = prep["frame_id"]
         self.cur_pose_ref = self.poses_ref[frame_id]
         frame_origin = prep["origin"]
-        self.map_down_pc = self.map_down_pc.concat(prep["frame_down"])
+        self._map_pcs.append(prep["frame_down"])
+        self._map_pc_cache = None
+        had_map = self._map_len > 0
+        self._map_len += len(prep["frame_down"])
         self.cur_frame_pc = prep["frame_down"]
-        if len(self.map_down_pc) > 0:
-            self.map_bbx = (
-                self.map_down_pc.points.min(axis=0),
-                self.map_down_pc.points.max(axis=0),
-            )
         if len(prep["frame_down"]) > 0:
             self.cur_bbx = (
                 prep["frame_down"].points.min(axis=0),
                 prep["frame_down"].points.max(axis=0),
+            )
+            # running min/max == the reference's whole-map scan
+            self.map_bbx = (
+                np.minimum(self.map_bbx[0], self.cur_bbx[0]) if had_map
+                else self.cur_bbx[0],
+                np.maximum(self.map_bbx[1], self.cur_bbx[1]) if had_map
+                else self.cur_bbx[1],
             )
         coord, sdf_label, normal_label, sem_label, weight, sample_depth, ray_depth = prep["sampled"]
         if self.grid is not None:
@@ -295,6 +372,7 @@ class LiDARDataset:
         if incremental_on:
             # continual-learning mode keeps only the current frame
             # (dataset/lidar_dataset.py:223-233)
+            self._pool_bufs = None
             self.pool = SamplePool(
                 coord=coord.astype(np.float32),
                 sdf_label=sdf_label.astype(np.float32),
@@ -328,6 +406,7 @@ class LiDARDataset:
             else:
                 new_sample_depth = p.sample_depth[keep]
                 new_ray_depth = p.ray_depth  # unused in point mode
+            self._pool_bufs = None
             self.pool = SamplePool(
                 coord=p.coord[keep],
                 sdf_label=p.sdf_label[keep],
@@ -340,34 +419,50 @@ class LiDARDataset:
                 time=p.time[keep],
             )
 
-        # accumulate (dataset/lidar_dataset.py:262-281)
+        # accumulate (dataset/lidar_dataset.py:262-281) — amortized append
+        # buffers instead of a whole-pool np.concatenate per frame (O(n^2)
+        # copying; see _GrowBuf)
         p = self.pool
+        if self._pool_bufs is None:
+            self._pool_bufs = {
+                "coord": _GrowBuf(p.coord),
+                "sdf_label": _GrowBuf(p.sdf_label),
+                "normal_label": (None if p.normal_label is None
+                                 else _GrowBuf(p.normal_label)),
+                "sem_label": (None if p.sem_label is None
+                              else _GrowBuf(p.sem_label)),
+                "weight": _GrowBuf(p.weight),
+                "sample_depth": _GrowBuf(p.sample_depth),
+                "ray_depth": _GrowBuf(p.ray_depth),
+                "origin": _GrowBuf(p.origin),
+                "time": _GrowBuf(p.time),
+            }
+        b = self._pool_bufs
+
+        def opt_append(name, arr, dtype):
+            # None-propagation mirrors the reference: a frame without the
+            # field resets it to None; the first frame WITH it (re)starts
+            # the column
+            if arr is None:
+                b[name] = None
+                return None
+            arr = arr.astype(dtype)
+            if b[name] is None:
+                b[name] = _GrowBuf(arr)
+                return b[name].view()
+            return b[name].append(arr)
+
         self.pool = SamplePool(
-            coord=np.concatenate([p.coord, coord.astype(np.float32)]),
-            sdf_label=np.concatenate([p.sdf_label, sdf_label.astype(np.float32)]),
-            normal_label=(
-                None
-                if normal_label is None
-                else (
-                    normal_label.astype(np.float32)
-                    if p.normal_label is None
-                    else np.concatenate([p.normal_label, normal_label.astype(np.float32)])
-                )
-            ),
-            sem_label=(
-                None
-                if sem_label is None
-                else (
-                    sem_label.astype(np.int32)
-                    if p.sem_label is None
-                    else np.concatenate([p.sem_label, sem_label.astype(np.int32)])
-                )
-            ),
-            weight=np.concatenate([p.weight, weight.astype(np.float32)]),
-            sample_depth=np.concatenate([p.sample_depth, sample_depth.astype(np.float32)]),
-            ray_depth=np.concatenate([p.ray_depth, ray_depth.astype(np.float32)]),
-            origin=np.concatenate([p.origin, origin_rep]),
-            time=np.concatenate([p.time, time_rep]),
+            coord=b["coord"].append(coord.astype(np.float32)),
+            sdf_label=b["sdf_label"].append(sdf_label.astype(np.float32)),
+            normal_label=opt_append("normal_label", normal_label, np.float32),
+            sem_label=opt_append("sem_label", sem_label, np.int32),
+            weight=b["weight"].append(weight.astype(np.float32)),
+            sample_depth=b["sample_depth"].append(
+                sample_depth.astype(np.float32)),
+            ray_depth=b["ray_depth"].append(ray_depth.astype(np.float32)),
+            origin=b["origin"].append(origin_rep),
+            time=b["time"].append(time_rep),
         )
         return coord.shape[0]
 
