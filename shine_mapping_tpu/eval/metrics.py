@@ -61,7 +61,9 @@ def nn_correspondence(
     if len(verts1) == 0 or len(verts2) == 0:
         return np.zeros(0)
     tree = cKDTree(verts1)
-    dist, _ = tree.query(verts2, k=1)
+    # workers=-1: parallel NN queries (identical results; the city-scale
+    # eval's two-way 10M-point query was 137 s single-threaded)
+    dist, _ = tree.query(verts2, k=1, workers=-1)
     if ignore_outlier:
         return dist[dist < truncation_dist]
     return np.minimum(dist, truncation_dist)
@@ -173,7 +175,7 @@ def crop_intersection(
         assert isinstance(mesh, io.TriangleMesh)
         sample = sample_points_uniformly(mesh, mesh_sample_point)
         tree = cKDTree(sample)
-        d, _ = tree.query(pts, k=1)
+        d, _ = tree.query(pts, k=1, workers=-1)
         pts = pts[d < dist_thre]
     io.write_ply(out_file_crop, io.PointCloud(points=pts))
 
