@@ -116,7 +116,8 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
 
     if primary:
         pc_map_path = run_path + "/map/pc_map_down.ply"
-        dataset.write_merged_pc(pc_map_path)
+        with timer.phase("map-export"):
+            dataset.write_merged_pc(pc_map_path)
 
     if resume:
         from .common import pad_opt_state_features
@@ -401,20 +402,21 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
 
     t_train1 = time.time()
     print(f"training: {t_train1 - t_train0:.1f} s for {done_iters} iters")
-    print("phase totals(s): " + ", ".join(
-        f"{p}={v:.1f}" for p, v in timer.summary().items()
-    ))
-
     # final checkpoint
     sync_features_to_grid(grid, params)
     if primary:
-        ckpt.save_checkpoint(
-            f"{run_path}/model/model_final.npz", grid,
-            device_local(params), device_local(opt_state), done_iters,
-        )
-        ckpt.save_decoders(
-            f"{run_path}/model/model_final_decoders.npz", device_local(params)
-        )
+        with timer.phase("checkpoint"):
+            ckpt.save_checkpoint(
+                f"{run_path}/model/model_final.npz", grid,
+                device_local(params), device_local(opt_state), done_iters,
+            )
+            ckpt.save_decoders(
+                f"{run_path}/model/model_final_decoders.npz",
+                device_local(params)
+            )
+    print("phase totals(s): " + ", ".join(
+        f"{p}={v:.1f}" for p, v in timer.summary().items()
+    ))
     logger.close()
     if vis is not None:
         vis.stop()

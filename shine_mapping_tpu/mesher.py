@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import functools
 import math
+import os
+import time
 from typing import Optional, Tuple
 
 import numpy as np
@@ -22,6 +24,13 @@ import jax.numpy as jnp
 
 from .config import SHINEConfig
 from .data import io
+
+
+def _mesh_stamp(tag: str, t0):
+    """Opt-in reconstruction stage timing (SHINE_TIME_MESH=1)."""
+    if os.environ.get("SHINE_TIME_MESH", "0") == "1" and t0 is not None:
+        print(f"[mesh] {tag}: {time.perf_counter() - t0:.2f}s", flush=True)
+    return time.perf_counter()
 from .models import decoder
 from .ops.marching import marching_tetrahedra, vertex_normals
 from .ops.query import query_feature_with_aux
@@ -765,6 +774,7 @@ class Mesher:
                 [origins, np.full((pad, 3), 3.0, np.float32)], axis=0)
         check_level = min(self.grid.featured_level_num,
                           self.config.mc_vis_level) - 1
+        _t = _mesh_stamp("setup", None)
         sdf_pred, _, mc_mask = _infer_node_blocks_lattice(
             self.geo_params, self.geo_params,
             tuple(self.grid.features), tuple(self.grid.tables),
@@ -777,6 +787,7 @@ class Mesher:
         sdf_pred = np.asarray(sdf_pred).reshape(-1)
         mc_mask = (np.asarray(mc_mask).reshape(-1)
                    if self.config.mc_mask_on else None)
+        _t = _mesh_stamp("query+readback", _t)
         for k in range(n_nodes):
             sdf3, _, mask3 = self.assign_to_bbx(
                 sdf_pred[k * block:(k + 1) * block],
@@ -791,9 +802,11 @@ class Mesher:
             if mask3 is not None:
                 grid_mask[s[0]:s[0]+vox_per_node, s[1]:s[1]+vox_per_node, s[2]:s[2]+vox_per_node] = mask3
 
+        _t = _mesh_stamp("paste", _t)
         mc_voxel_size = mc_res_scaled / self.world_scale
         mc_origin = (min_nodes - 0.5 * (node_res - mc_res_scaled)) / self.world_scale
         verts, faces = self.mc_mesh(grid_sdf, grid_mask, mc_voxel_size, mc_origin)
+        _mesh_stamp("marching", _t)
         return self._finalize_mesh(
             verts, faces, mesh_path, estimate_sem, estimate_normal,
             filter_isolated_mesh, filter_free_space_vertices,
@@ -803,18 +816,23 @@ class Mesher:
         self, verts, faces, mesh_path, estimate_sem, estimate_normal,
         filter_isolated_mesh, filter_free_space_vertices,
     ) -> io.TriangleMesh:
+        _t = _mesh_stamp("finalize-start", None)
         mesh = io.TriangleMesh(
             vertices=verts.astype(np.float64), triangles=faces.astype(np.int32)
         )
         if estimate_sem and self.sem_params is not None:
             mesh = self.estimate_vertices_sem(mesh, mesh.vertices, filter_free_space_vertices)
+            _t = _mesh_stamp("vertex-sem", _t)
         if estimate_normal and mesh.vertices.shape[0] > 0:
             mesh.vertex_normals = vertex_normals(mesh.vertices, mesh.triangles)
+            _t = _mesh_stamp("normals", _t)
         if filter_isolated_mesh:
             mesh = self.filter_isolated_vertices(mesh, self.config.min_cluster_vertices)
+            _t = _mesh_stamp("cluster-filter", _t)
         mesh = mesh.transform(self.global_transform)
         if mesh_path:
             io.write_ply(mesh_path, mesh)
+            _mesh_stamp("transform+write", _t)
         return mesh
 
 

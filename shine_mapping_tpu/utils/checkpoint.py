@@ -63,7 +63,12 @@ def save_checkpoint(
     _flatten("optv", opt_state.v, out)
     out["optstep"] = np.asarray(opt_state.step)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez_compressed(path, **out)
+    # uncompressed: the payload is dominated by near-random float feature
+    # tables + moments that zlib cannot shrink (~20%), while compression
+    # burned ~60 s of the city demo's wall on the host; matches the
+    # reference's uncompressed torch.save (utils/tools.py:200-213).
+    # np.load reads both formats, so old checkpoints stay loadable.
+    np.savez(path, **out)
 
 
 def load_checkpoint(path: str, params_like, opt_state_like=None):
