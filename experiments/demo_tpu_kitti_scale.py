@@ -194,6 +194,8 @@ def main() -> None:
         max_range=45.0)
     gt_path = os.path.join(out, "gt.ply")
     io.write_ply(gt_path, io.PointCloud(points=gt))
+    t_gt = time.perf_counter() - t0
+    t0 = time.perf_counter()
     m = eval_mesh(mesh_path, gt_path, down_sample_res=0.05, threshold=0.2,
                   truncation_acc=0.4, truncation_com=2.0,
                   mesh_sample_point=1_000_000 if not tiny else 300_000)
@@ -218,6 +220,7 @@ def main() -> None:
         "precision_pct": m.get("Precision [Accuracy] (%)"),
         "recall_pct": m.get("Recall [Completeness] (%)"),
         "f_score_pct": m["F-score (%)"],
+        "gt_gen_s": round(t_gt, 1),
         "eval_s": round(t_eval, 1),
         "device_memory_stats": mem_stats,
     }

@@ -275,6 +275,28 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             pre, int(n_live), wkey, settings, feat_shapes,
         )
 
+    # rotating sub-pools: stage the NEXT rotation's host gather + pad +
+    # upload on a worker thread while the current chunk trains (the host
+    # sits idle inside the device-bound training scan).  The pool_rng
+    # draws keep their exact sequence — one per rotation, drawn one
+    # rotation early — so the staged subsets are bit-identical to the
+    # unstaged ones.  Lookups/windows stay on the main thread (device
+    # compute, visible in the rotate phase).
+    rotate_exec = None
+    next_rotation = None
+    if rotate_pool and batch_sharding is None:
+        import concurrent.futures as cf
+
+        rotate_exec = cf.ThreadPoolExecutor(max_workers=1)
+
+        def stage_rotation():
+            sub = pool_rng.integers(0, len(dataset.pool), capacity)
+            return rotate_exec.submit(
+                trainer.pool_to_device, dataset.pool, capacity, settings, sub
+            )
+
+        next_rotation = stage_rotation()
+
     with timer.phase("precompute"):
         pre_lookups = make_pre()
         batch_windows = make_windows(pre_lookups)
@@ -290,13 +312,18 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             n -= start_iter - start
             start = start_iter
         if rotate_pool and iters_since_rotate >= cfg.pool_rotate_iters:
-            sub = pool_rng.integers(0, len(dataset.pool), capacity)
-            dev_pool, n_valid = trainer.pool_to_device(
-                dataset.pool, capacity, settings, subset=sub
-            )
-            iters_since_rotate = 0
-            pre_lookups = make_pre()  # pool contents changed
-            batch_windows = make_windows(pre_lookups)
+            with timer.phase("rotate"):
+                if next_rotation is not None:
+                    dev_pool, n_valid = next_rotation.result()
+                    next_rotation = stage_rotation()
+                else:
+                    sub = pool_rng.integers(0, len(dataset.pool), capacity)
+                    dev_pool, n_valid = trainer.pool_to_device(
+                        dataset.pool, capacity, settings, subset=sub
+                    )
+                iters_since_rotate = 0
+                pre_lookups = make_pre()  # pool contents changed
+                batch_windows = make_windows(pre_lookups)
         # chunk key depends only on the chunk's start iteration, so a
         # resumed run draws the same batches an uninterrupted run would
         k = jax.random.fold_in(key, start)
@@ -417,6 +444,8 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     print("phase totals(s): " + ", ".join(
         f"{p}={v:.1f}" for p, v in timer.summary().items()
     ))
+    if rotate_exec is not None:
+        rotate_exec.shutdown(wait=False)
     logger.close()
     if vis is not None:
         vis.stop()
