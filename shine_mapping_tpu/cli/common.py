@@ -23,10 +23,13 @@ if os.environ.get("JAX_PLATFORMS"):
 # Threshold 0: even sub-second eager-op executables persist — a fresh driver
 # process otherwise pays ~100 x ~0.6 s of remote round trips re-compiling
 # trivial scatter/broadcast ops that the 1 s default refuses to cache
-# (measured: the demo's precompute phase dropped ~60 s)
+# (measured: the demo's precompute phase dropped ~60 s).  CPU-forced runs
+# (tests, CI) keep the 1 s threshold: local compiles are fast and the
+# 0-threshold would flood the shared cache dir with per-shape trivia.
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/shine_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _min_ct = 1.0 if os.environ.get("JAX_PLATFORMS", "") == "cpu" else 0.0
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", _min_ct)
 except Exception:
     pass
 

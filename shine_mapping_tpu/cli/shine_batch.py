@@ -96,6 +96,8 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         f"data phase: {timer.totals['data']:.1f} s, "
         f"pool={len(dataset.pool)} samples"
     )
+    # release the accumulate buffers' doubling headroom (up to 2x pool RAM)
+    dataset.finalize_pool()
     grid.print_detail()
 
     params = trainer.init_params(cfg, grid, jax.random.PRNGKey(cfg.seed))
@@ -196,6 +198,11 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     n_live_static = capacity if rotate_pool else len(dataset.pool)
     est_fused = trainer.estimate_windows_bytes(
         n_live_static, settings, feat_shapes, dev_pool, fused=True)
+    if rotate_pool:
+        # rotation prefetch keeps a SECOND capacity-sized pool staged in
+        # HBM between rotations — charge it against the same budget
+        est_fused += sum(
+            a.nbytes for a in dev_pool.values() if a is not None)
     use_winx = cfg.windows_fused and (
         batch_sharding is None or cfg.table_sharding == "replicated"
     )
@@ -276,26 +283,48 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         )
 
     # rotating sub-pools: stage the NEXT rotation's host gather + pad +
-    # upload on a worker thread while the current chunk trains (the host
-    # sits idle inside the device-bound training scan).  The pool_rng
-    # draws keep their exact sequence — one per rotation, drawn one
-    # rotation early — so the staged subsets are bit-identical to the
-    # unstaged ones.  Lookups/windows stay on the main thread (device
-    # compute, visible in the rotate phase).
-    rotate_exec = None
+    # upload on a DAEMON worker thread while the current chunk trains
+    # (the host sits idle inside the device-bound training scan; a daemon
+    # thread never blocks interpreter exit even if the tunnel wedges
+    # mid-upload).  The pool_rng draws keep their exact sequence — one
+    # per rotation, drawn one rotation early — so the staged subsets are
+    # bit-identical to the unstaged ones.  Lookups/windows stay on the
+    # main thread (device compute, visible in the rotate phase).  The
+    # staged pool doubles the resident pool HBM between rotations; only
+    # stage when a rotation actually lies ahead.
     next_rotation = None
     if rotate_pool and batch_sharding is None:
-        import concurrent.futures as cf
+        import threading
 
-        rotate_exec = cf.ThreadPoolExecutor(max_workers=1)
+        class _Staged:
+            def __init__(self, sub):
+                self._out = self._err = None
+                self._t = threading.Thread(
+                    target=self._run, args=(sub,), daemon=True)
+                self._t.start()
 
-        def stage_rotation():
-            sub = pool_rng.integers(0, len(dataset.pool), capacity)
-            return rotate_exec.submit(
-                trainer.pool_to_device, dataset.pool, capacity, settings, sub
-            )
+            def _run(self, sub):
+                try:
+                    self._out = trainer.pool_to_device(
+                        dataset.pool, capacity, settings, sub)
+                except BaseException as e:  # re-raised on the main thread
+                    self._err = e
 
-        next_rotation = stage_rotation()
+            def result(self):
+                self._t.join()
+                if self._err is not None:
+                    raise self._err
+                return self._out
+
+        def stage_rotation(iters_done: int):
+            # a rotation fires only when pool_rotate_iters more
+            # iterations actually run — otherwise the staged upload
+            # would sit unused in HBM for the rest of the run
+            if cfg.iters - iters_done <= cfg.pool_rotate_iters:
+                return None
+            return _Staged(pool_rng.integers(0, len(dataset.pool), capacity))
+
+        next_rotation = stage_rotation(start_iter)
 
     with timer.phase("precompute"):
         pre_lookups = make_pre()
@@ -315,7 +344,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             with timer.phase("rotate"):
                 if next_rotation is not None:
                     dev_pool, n_valid = next_rotation.result()
-                    next_rotation = stage_rotation()
+                    next_rotation = stage_rotation(start)
                 else:
                     sub = pool_rng.integers(0, len(dataset.pool), capacity)
                     dev_pool, n_valid = trainer.pool_to_device(
@@ -444,8 +473,6 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     print("phase totals(s): " + ", ".join(
         f"{p}={v:.1f}" for p, v in timer.summary().items()
     ))
-    if rotate_exec is not None:
-        rotate_exec.shutdown(wait=False)
     logger.close()
     if vis is not None:
         vis.stop()

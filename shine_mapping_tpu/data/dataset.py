@@ -15,7 +15,7 @@ train loop (see train/trainer.py) instead of per-iteration host indexing.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields as dataclass_fields
 from typing import List, Optional
 
 import numpy as np
@@ -313,6 +313,23 @@ class LiDARDataset:
                     futures.pop(f).result(), incremental_on
                 )
         return total
+
+    def finalize_pool(self) -> None:
+        """Trim the accumulate buffers to exact size (one O(n) copy).
+
+        The doubling buffers can pin up to 2x the final pool in host RAM
+        (several GB at city scale); the batch driver calls this once the
+        data phase ends.  Appending later transparently rebuilds buffers
+        from the trimmed pool."""
+        if self._pool_bufs is None:
+            return
+        p = self.pool
+        self.pool = SamplePool(**{
+            f.name: (None if getattr(p, f.name) is None
+                     else np.ascontiguousarray(getattr(p, f.name)))
+            for f in dataclass_fields(SamplePool)
+        })
+        self._pool_bufs = None
 
     def _integrate_frame(self, prep: dict, incremental_on: bool) -> int:
         """Sequential half: grid growth + pool bookkeeping for one frame."""

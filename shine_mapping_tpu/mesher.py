@@ -24,6 +24,10 @@ import jax.numpy as jnp
 
 from .config import SHINEConfig
 from .data import io
+from .models import decoder
+from .ops.marching import marching_tetrahedra, vertex_normals
+from .ops.query import query_feature_with_aux
+from .data.semantic_kitti import labels_to_colors
 
 
 def _mesh_stamp(tag: str, t0):
@@ -31,10 +35,6 @@ def _mesh_stamp(tag: str, t0):
     if os.environ.get("SHINE_TIME_MESH", "0") == "1" and t0 is not None:
         print(f"[mesh] {tag}: {time.perf_counter() - t0:.2f}s", flush=True)
     return time.perf_counter()
-from .models import decoder
-from .ops.marching import marching_tetrahedra, vertex_normals
-from .ops.query import query_feature_with_aux
-from .data.semantic_kitti import labels_to_colors
 
 
 def _infer_core(

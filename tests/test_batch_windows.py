@@ -1071,8 +1071,8 @@ def test_choose_split_k_selection():
     # hopeless: every window nearly all heavy -> no split
     k_lo, p = trainer.choose_split_k([4096, 4000, 3000], (1, 2, 4), bs, 8)
     assert (k_lo, p) == (8, 0)
-    # entry-minimizing, not first-fit: K_lo=1 with a bs/2 prefix (M =
-    # 0.5*8 + 0.5*1 = 4.5/sample) beats K_lo=2 with a bs/4 prefix
-    # (M = 0.25*8 + 0.75*2 = 3.5/sample) -- the smaller M wins
+    # entry-minimizing, not first-fit: K_lo=2 with a bs/4 prefix
+    # (M = 0.25*8 + 0.75*2 = 3.5/sample) beats first-fit K_lo=1 with a
+    # bs/2 prefix (M = 0.5*8 + 0.5*1 = 4.5/sample)
     k_lo, p = trainer.choose_split_k([1500, 1000, 200], (1, 2, 4), bs, 8)
     assert (k_lo, p) == (2, 1024)
