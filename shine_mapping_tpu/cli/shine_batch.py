@@ -198,9 +198,10 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     n_live_static = capacity if rotate_pool else len(dataset.pool)
     est_fused = trainer.estimate_windows_bytes(
         n_live_static, settings, feat_shapes, dev_pool, fused=True)
-    if rotate_pool:
+    if rotate_pool and batch_sharding is None:
         # rotation prefetch keeps a SECOND capacity-sized pool staged in
-        # HBM between rotations — charge it against the same budget
+        # HBM between rotations — charge it against the same budget (the
+        # staging thread only runs single-controller, see below)
         est_fused += sum(
             a.nbytes for a in dev_pool.values() if a is not None)
     use_winx = cfg.windows_fused and (
@@ -293,6 +294,11 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     # staged pool doubles the resident pool HBM between rotations; only
     # stage when a rotation actually lies ahead.
     next_rotation = None
+    chunk_starts = [
+        start for start, _ in event_boundaries(
+            cfg.iters, (cfg.save_freq_iters, cfg.vis_freq_iters),
+            cfg.scan_chunk)
+    ]
     if rotate_pool and batch_sharding is None:
         import threading
 
@@ -317,10 +323,12 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
                 return self._out
 
         def stage_rotation(iters_done: int):
-            # a rotation fires only when pool_rotate_iters more
-            # iterations actually run — otherwise the staged upload
-            # would sit unused in HBM for the rest of the run
-            if cfg.iters - iters_done <= cfg.pool_rotate_iters:
+            # a rotation fires only at a scan-chunk boundary with
+            # pool_rotate_iters done since the last one — stage only when
+            # such a boundary actually lies ahead, else the staged
+            # capacity-sized upload would sit unused in HBM to run end
+            if not any(s >= iters_done + cfg.pool_rotate_iters
+                       for s in chunk_starts):
                 return None
             return _Staged(pool_rng.integers(0, len(dataset.pool), capacity))
 

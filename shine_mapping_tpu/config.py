@@ -264,8 +264,9 @@ class SHINEConfig:
     # ONE row per level — ~3x fewer forward gather rows and kernel entries
     # at bench shapes.  Same window membership / epoch permutation
     # (order within a window changes, which only reassociates the loss
-    # mean).  Falls back to the plain fused layout automatically when the
-    # prefix would exceed bs/4 — so default ON (measured 3.21 -> 2.14
+    # mean).  Falls back to the plain fused layout automatically when no
+    # (K_lo, prefix <= bs/2) choice cuts the entry count by >= 1/8
+    # (trainer.choose_split_k) — so default ON (measured 3.21 -> 2.14
     # ms/iter on the bench world; BENCH_NOTES round 4).
     windows_split_k: bool = True
     # HBM budget (GiB) for the window precompute's device arrays (the

@@ -324,9 +324,12 @@ class LiDARDataset:
         if self._pool_bufs is None:
             return
         p = self.pool
+        # force a REAL copy: the pool fields are buf[:n] views whose .base
+        # keeps the full doubling buffer alive (np.ascontiguousarray on an
+        # already-contiguous view returns the same view and frees nothing)
         self.pool = SamplePool(**{
             f.name: (None if getattr(p, f.name) is None
-                     else np.ascontiguousarray(getattr(p, f.name)))
+                     else getattr(p, f.name).copy())
             for f in dataclass_fields(SamplePool)
         })
         self._pool_bufs = None

@@ -77,6 +77,10 @@ class MapVisualizer:
         self.render_map = True       # [M]
         self.background = "white"    # [B]/[W]
         self.frame_axis_len = frame_axis_len
+        # offscreen-rasterizer work caps (the fill loops are host Python;
+        # city-scale meshes would otherwise cost minutes per snapshot)
+        self.max_draw_triangles = 60000
+        self.max_draw_points = 20000
         # headless snapshot mode: without Open3D, each update() renders
         # an offscreen PNG frame here instead of drawing a window
         self.snapshot_dir = snapshot_dir
@@ -320,15 +324,20 @@ class MapVisualizer:
             else:
                 base = np.full((t.shape[0], 3), 0.62)
             shade = np.clip(base * (0.35 + 0.65 * lam[:, None]), 0, 1)
-            order = np.argsort(-tz)  # far -> near (painter)
             xy = px[t]  # (T, 3, 2)
             onscreen = (
                 (xy[..., 0].max(axis=1) >= 0) & (xy[..., 0].min(axis=1) < width)
                 & (xy[..., 1].max(axis=1) >= 0) & (xy[..., 1].min(axis=1) < height)
             )
+            drawable = np.flatnonzero(vis & onscreen)
+            # the fill loop is host Python — cap it so a city-scale mesh
+            # (millions of triangles) costs bounded time per snapshot;
+            # keep the NEAREST triangles (the visually dominant ones)
+            if len(drawable) > self.max_draw_triangles:
+                near = np.argsort(tz[drawable])[: self.max_draw_triangles]
+                drawable = drawable[near]
+            order = drawable[np.argsort(-tz[drawable])]  # far -> near
             for i in order:
-                if not (vis[i] and onscreen[i]):
-                    continue
                 c = tuple((shade[i] * 255).astype(np.uint8))
                 draw.polygon([tuple(q) for q in xy[i]], fill=c)
 
@@ -337,10 +346,13 @@ class MapVisualizer:
                 getattr(scan_pc, "points", scan_pc), np.float64)
             if len(pts):
                 px, z = project(pts)
-                keep = (
+                keep = np.flatnonzero(
                     (z > 0.05) & (px[:, 0] >= 0) & (px[:, 0] < width)
                     & (px[:, 1] >= 0) & (px[:, 1] < height)
                 )
+                if len(keep) > self.max_draw_points:
+                    # even stride keeps the scan's spatial coverage
+                    keep = keep[:: -(-len(keep) // self.max_draw_points)]
                 col = tuple((SCAN_COLOR * 255).astype(np.uint8))
                 for x, y in px[keep][np.argsort(-z[keep])]:
                     draw.ellipse([x - 1, y - 1, x + 1, y + 1], fill=col)
