@@ -170,11 +170,12 @@ def main() -> None:
     n_corners = [hl.n_corners for hl in grid.host_levels]
     mem_stats = {}
     try:
-        import jax
+        # the driver's HbmMonitor: real memory_stats when the platform
+        # provides them, else the live-buffer census high-water mark
+        from shine_mapping_tpu.utils import profiling
 
-        ms = jax.local_devices()[0].memory_stats() or {}
-        mem_stats = {k: int(v) for k, v in ms.items()
-                     if "bytes" in k and isinstance(v, (int, float))}
+        if profiling.last_hbm_monitor is not None:
+            mem_stats = profiling.last_hbm_monitor.report()
     except Exception:
         pass
 

@@ -26,7 +26,8 @@ from ..train.optimizer import init_opt_state
 from ..utils import checkpoint as ckpt
 from ..utils.experiment import setup_experiment, get_time
 from ..utils.metrics_logger import MetricsLogger
-from ..utils.profiling import PhaseTimer, device_trace
+from ..utils import profiling
+from ..utils.profiling import HbmMonitor, PhaseTimer, device_trace
 from ..visualizer import MapVisualizer
 from .common import (
     build_grid,
@@ -154,6 +155,9 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     shadow = trainer.empty_shadow(params["features"])
     key = jax.random.PRNGKey(cfg.seed)
     iters_since_rotate = 0
+    hbm = HbmMonitor()
+    profiling.last_hbm_monitor = hbm
+    hbm.sample("upload")
 
     # ---------------------------------------------------------------- training
     print("Begin mapping")
@@ -337,6 +341,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     with timer.phase("precompute"):
         pre_lookups = make_pre()
         batch_windows = make_windows(pre_lookups)
+    hbm.sample("precompute")
     t_train0 = time.time()
     done_iters = start_iter
     profiled = False
@@ -388,6 +393,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             print(f"profiler trace written to {cfg.profile_dir}")
         iters_since_rotate += n
         done_iters = start + n
+        hbm.sample("train")
         rec = {("loss/" + k2): float(v) for k2, v in aux["mean"].items()}
         rec.update({
             "iter": done_iters,
@@ -396,6 +402,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             "samples_per_s": n * cfg.bs / max(t1 - t0, 1e-9),
         })
         rec.update({f"phase(s)/{p}": v for p, v in timer.summary().items()})
+        rec["hbm/peak_live_gb"] = round(hbm.peak_live / 2**30, 3)
         logger.log(rec)
         print(
             f"iter {done_iters}/{cfg.iters} loss {rec['loss/total_loss']:.4f} "
@@ -441,6 +448,7 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
                         )
                     if vis is not None:
                         vis.update_mesh(cur_mesh)
+                    hbm.sample("mesh")
                 else:
                     # one mesh per (even) timestamp — shine_batch.py:248-264
                     for frame_id in dataset.frame_ids():
@@ -481,6 +489,9 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     print("phase totals(s): " + ", ".join(
         f"{p}={v:.1f}" for p, v in timer.summary().items()
     ))
+    hrep = hbm.report()
+    print(f"peak HBM (live-buffer census): {hrep['peak_live_gb']} GiB "
+          f"{hrep['samples_gb']}")
     logger.close()
     if vis is not None:
         vis.stop()

@@ -29,6 +29,8 @@ from ..train.optimizer import init_opt_state
 from ..utils import checkpoint as ckpt
 from ..utils.experiment import setup_experiment, get_time
 from ..utils.metrics_logger import MetricsLogger
+from ..utils import profiling
+from ..utils.profiling import HbmMonitor
 from ..visualizer import MapVisualizer
 from .common import (
     build_grid,
@@ -93,6 +95,8 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
     processed_frame = 0
     total_iter = 0
     freeze = loaded_freeze
+    hbm = HbmMonitor()
+    profiling.last_hbm_monitor = hbm
 
     for frame_id in dataset.frame_ids():
         if processed_frame == cfg.freeze_after_frame and not freeze:
@@ -203,6 +207,7 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
         )
         jax.block_until_ready(aux["mean"]["total_loss"])
         total_iter += cfg.iters
+        hbm.sample("train")
         sync_features_to_grid(grid, params)
 
         # feature importance for the continual-learning regularizer
@@ -247,6 +252,7 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
             "timing(s)/preprocess": T1 - T0,
             "timing(s)/mapping": T2 - T1,
             "timing(s)/reconstruct": T3 - T2,
+            "hbm/peak_live_gb": round(hbm.peak_live / 2**30, 3),
         })
         logger.log(rec)
         print(
@@ -267,6 +273,8 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
             f"{run_path}/model/model_final.npz", grid, device_local(params),
             init_opt_state(device_local(params)), total_iter,
         )
+    hrep = hbm.report()
+    print(f"peak HBM (live-buffer census): {hrep['peak_live_gb']} GiB")
     logger.close()
     if vis is not None:
         vis.stop()

@@ -511,6 +511,36 @@ def test_estimate_windows_bytes_tracks_actual():
     assert 0.5 * actual_w <= est_w <= 2.0 * actual_w, (est_w, actual_w)
 
 
+def test_hbm_monitor_census_bounds_window_stacks():
+    """The drivers' peak-HBM telemetry (live-buffer census — the axon
+    plugin returns no memory_stats) must SEE the fused window stacks, and
+    the OOM-guard estimate must bound the measured residency delta."""
+    from shine_mapping_tpu.utils.profiling import HbmMonitor
+
+    (grid, settings, params, _, dev_pool, n_valid,
+     feat_shapes, tables, pre) = _winx_setup(seed=5, n=3000)
+    mon = HbmMonitor()
+    before = mon.sample("before")
+    wx = trainer.precompute_batch_windows_fused(
+        pre, dev_pool, int(n_valid), jax.random.PRNGKey(1), settings,
+        feat_shapes)
+    jax.block_until_ready(jax.tree_util.tree_leaves(wx))
+    after = mon.sample("after")
+    actual = sum(leaf.nbytes for leaf in jax.tree_util.tree_leaves(wx))
+    delta = after - before
+    assert delta >= 0.5 * actual, (delta, actual)
+    K = wx["rows_kg"].shape[-1] // len(settings.levels)
+    est = trainer.estimate_windows_bytes(
+        int(n_valid), settings, feat_shapes, dev_pool, fused=True, K=K)
+    # at this toy scale the census also catches a few MB of executable
+    # constants the precompute compile left live; the proportional term is
+    # what scales (the city demo records census vs estimate at real scale)
+    assert delta <= 2.0 * est + (16 << 20), (delta, est)
+    rep = mon.report()
+    assert rep["peak_live_bytes"] == max(before, after)
+    assert rep["samples_gb"]["after"] == round(after / 2**30, 3)
+
+
 def test_winx_w_bucket_rounds_to_pow2_and_trains():
     """w_bucket=True (the incremental driver's recompile bound): the window
     count rounds up to a power of two by wrapping the permutation; every
