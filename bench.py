@@ -93,6 +93,143 @@ def build_bench_world(tiny: bool = False):
     return cfg, grid, pool, n_pool
 
 
+def build_street_world(tiny: bool = False):
+    """The FOUND-DOMINATED regime twin of :func:`build_bench_world`.
+
+    The headline bench world is ~97% trashbin misses (its pool noise spans
+    many leaf voxels around a sparsely-grown band), which is exactly the
+    regime where split-K collapses to K_lo=1; REAL pools are nothing like
+    it: the octree grows FROM the pool's own surface samples
+    (dataset/lidar_dataset.py:211-218 — octree_from_surface_samples), so
+    79-95% of samples find nodes, and a found sample's 8 corners touch a
+    mean of ~3 distinct packed rows (corner sharing between neighboring
+    nodes fragments any allocation order — BENCH_NOTES round 4, city
+    demo).  This builder reproduces that regime with street-canyon
+    geometry (ground strip + two building walls, ~740 x 16 m at leaf
+    0.2 m), swept in sequential slabs like a vehicle pass:
+
+    * surface band samples displace each surface point along its sensor
+      ray by U(-0.15 m, 0.15 m) (the ICRA sampler's
+      surface_sample_range_m) and the grid grows from THOSE samples — the
+      real pipeline's invariant that makes surface samples find;
+    * free-space samples ride the same rays at 0.3-0.9 of the range
+      (mostly missing every level, like real sky/clearance samples).
+
+    Statistics are verified by experiments/exp_r5_street_world.py
+    (found-any fraction and nuniq|found pinned to the city-demo regime).
+    Returns (cfg, grid, pool, n_pool) like build_bench_world.
+    """
+    from shine_mapping_tpu.config import SHINEConfig
+    from shine_mapping_tpu.data.dataset import SamplePool
+    from shine_mapping_tpu.ops.hashgrid import HashGridHost
+
+    cfg = SHINEConfig()
+    cfg.tree_level_world = 8 if tiny else 12
+    cfg.tree_level_feat = 3
+    cfg.leaf_vox_size = 0.2
+    cfg.bs = 1024 if tiny else 8192
+    cfg.lr = 0.01
+    cfg.derive()
+
+    rng = np.random.default_rng(5)
+    w = 2.0 / (1 << cfg.tree_level_world)  # leaf voxel width (normalized)
+    # surface range 0.15 m in normalized units (cfg.scale = 1/m_per_unit)
+    surf_range = 0.15 * cfg.scale
+
+    # street canyon: ground strip + two walls, jittered-grid sampled at
+    # ~1.2 points per leaf voxel so coverage is contiguous (real sweeps
+    # saturate their corridor's voxels; isolated random points would give
+    # the miss-heavy regime back)
+    half_w = 40 * w          # ~8 m half-width at leaf 0.2 m
+    wall_h = 24 * w          # ~4.8 m walls
+    y_lo, y_hi = -0.9, 0.9
+    step = 0.9 * w
+
+    def grid_pts(extent_a, extent_b):
+        na = max(int((extent_a[1] - extent_a[0]) / step), 1)
+        nb = max(int((extent_b[1] - extent_b[0]) / step), 1)
+        a = extent_a[0] + (np.arange(na) + 0.5) * step
+        b = extent_b[0] + (np.arange(nb) + 0.5) * step
+        A, B = np.meshgrid(a, b, indexing="ij")
+        P = np.stack([A.ravel(), B.ravel()], axis=1)
+        return P + rng.uniform(-0.4 * step, 0.4 * step, P.shape)
+
+    if tiny:
+        half_w, wall_h, y_hi, y_lo = 10 * w, 6 * w, 0.5, -0.5
+
+    g = grid_pts((-half_w, half_w), (y_lo, y_hi))
+    zg = 0.5 * w * np.sin(g[:, 0] / (8 * w)) * np.cos(g[:, 1] / (11 * w))
+    ground = np.stack([g[:, 0], g[:, 1], zg], axis=1)
+    wl = grid_pts((y_lo, y_hi), (0.0, wall_h))
+    wall_l = np.stack([np.full(len(wl), -half_w), wl[:, 0], wl[:, 1]], axis=1)
+    wr = grid_pts((y_lo, y_hi), (0.0, wall_h))
+    wall_r = np.stack([np.full(len(wr), half_w), wr[:, 0], wr[:, 1]], axis=1)
+    surf = np.concatenate([ground, wall_l, wall_r]).astype(np.float32)
+
+    # sensor pass down the street center: each surface point is seen from
+    # the nearest pose (rays matter — band/free samples lie along them)
+    n_poses = 4 if tiny else 30
+    pose_y = np.linspace(y_lo, y_hi, n_poses)
+    pi = np.clip(np.searchsorted(pose_y, surf[:, 1]), 0, n_poses - 1)
+    origins = np.stack([
+        np.zeros(len(surf)), pose_y[pi],
+        np.full(len(surf), 4 * w)], axis=1).astype(np.float32)
+    rays = surf - origins
+    rng_len = np.linalg.norm(rays, axis=1, keepdims=True)
+    dirs = rays / np.maximum(rng_len, 1e-9)
+
+    k_surf = 3
+    disp = rng.uniform(-surf_range, surf_range,
+                       (len(surf), k_surf)).astype(np.float32)
+    band = (surf[:, None, :] + disp[..., None] * dirs[:, None, :]).reshape(-1, 3)
+    band_sdf = disp.reshape(-1)
+    band_origin = np.repeat(origins, k_surf, axis=0)
+
+    grid = HashGridHost(
+        max_level=cfg.tree_level_world,
+        featured_level_num=cfg.tree_level_feat,
+        feature_dim=cfg.feature_dim,
+        feature_std=cfg.feature_std,
+        seed=0,
+        init_node_capacity=1 << (13 if tiny else 19),
+        init_corner_capacity=1 << (13 if tiny else 19),
+    )
+    # sequential slab growth (a vehicle pass allocates corners in sweep
+    # order, the order real maps get)
+    slab = np.clip(((band[:, 1] - y_lo) / (y_hi - y_lo) * 10).astype(int),
+                   0, 9)
+    for sl in range(10):
+        pts = band[slab == sl]
+        if len(pts):
+            grid.update(pts)
+
+    # free-space samples: same rays, 0.3-0.9 of the range (open-air misses)
+    n_ray_free = max(len(surf) // 2, 1)
+    fi = rng.integers(0, len(surf), n_ray_free)
+    t_free = rng.uniform(0.3, 0.9, n_ray_free).astype(np.float32)
+    free = (origins[fi] + (t_free * rng_len[fi, 0])[:, None] * dirs[fi])
+    free_sdf = ((1.0 - t_free) * rng_len[fi, 0]).astype(np.float32)
+
+    n_pool = 40_000 if tiny else 2_000_000
+    coord = np.concatenate([band, free]).astype(np.float32)
+    sdf = np.concatenate([band_sdf, free_sdf]).astype(np.float32)
+    weight = np.concatenate([
+        np.ones(len(band), np.float32), -np.ones(len(free), np.float32)])
+    origin = np.concatenate([band_origin, origins[fi]]).astype(np.float32)
+    perm = rng.permutation(len(coord))[:n_pool]
+    n_pool = len(perm)
+    pool = SamplePool(
+        coord=coord[perm],
+        sdf_label=sdf[perm],
+        weight=weight[perm],
+        sample_depth=np.zeros(n_pool, np.float32),
+        ray_depth=np.zeros(n_pool // 7 + 1, np.float32),
+        origin=origin[perm],
+        time=np.zeros(n_pool, np.float32),
+    )
+    return cfg, grid, pool, n_pool
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -114,7 +251,14 @@ def main() -> None:
     import sys
 
     tiny = os.environ.get("SHINE_BENCH_TINY", "0") == "1"
-    cfg, grid, pool, n_pool = build_bench_world(tiny=tiny)
+    # two regimes, both recorded (round-5): "bench" = the miss-dominated
+    # MaiCity-shaped world (the historical headline; split-K's best case),
+    # "street" = the found-dominated street canyon real pools look like
+    # (79-95% found, ~3 packed rows per found sample — the regime the city
+    # demo trains in).  See build_street_world.
+    world = os.environ.get("SHINE_BENCH_WORLD", "bench")
+    build = build_street_world if world == "street" else build_bench_world
+    cfg, grid, pool, n_pool = build(tiny=tiny)
 
     dev_pool, n_valid = trainer.pool_to_device(
         pool, 1 << (16 if tiny else 21),
@@ -258,7 +402,10 @@ def main() -> None:
 # known-best order: if a later mode wedges the tunnel, the best candidates
 # have already banked their results.  The _ek row is the PRODUCTION (ICRA
 # eikonal-on) configuration — reported alongside the BCE-only headline.
+# The street rows run FIRST within their priority: the artifact of record
+# must carry the regime real data lives in even if the tunnel dies later.
 ORCHESTRATED_MODES = (
+    "street:pallas_bf16m_winxsp", "street:pallas_bf16m_winxsp_ek",
     "pallas_bf16m_winxsp", "pallas_bf16m_winxsp_ek",
     "pallas_bf16m_winxp", "pallas_bf16m_winxp_ek", "pallas_bf16m_winx",
     "pallas_bf16m_win", "pallas_bf16m", "pallas", "fused", "sparse",
@@ -285,16 +432,20 @@ def orchestrate() -> None:
     deadline = time.time() + budget
     best = None
     bank = {}
-    for i, mode in enumerate(ORCHESTRATED_MODES):
+    for i, spec in enumerate(ORCHESTRATED_MODES):
+        world, _, mode = spec.rpartition(":")
+        world = world or "bench"
         remaining = deadline - time.time()
         if remaining < (30 if tiny else 120):
-            print(f"[bench] budget exhausted before {mode}; stopping",
+            print(f"[bench] budget exhausted before {spec}; stopping",
                   file=sys.stderr, flush=True)
             break
-        # first child pays the cold remote compiles (10-60 s/executable)
-        per_mode = 120 if tiny else (1800 if i == 0 else 1200)
-        env = dict(os.environ,
-                   SHINE_BENCH_MODES=mode, SHINE_BENCH_SUBPROC="0")
+        # first child of each world pays the cold remote compiles
+        # (10-60 s/executable; the split-layout prep is minutes at a fresh
+        # static shape)
+        per_mode = 120 if tiny else (1800 if i in (0, 2) else 1200)
+        env = dict(os.environ, SHINE_BENCH_MODES=mode,
+                   SHINE_BENCH_WORLD=world, SHINE_BENCH_SUBPROC="0")
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -302,42 +453,62 @@ def orchestrate() -> None:
                 timeout=min(per_mode, remaining),
             )
         except subprocess.TimeoutExpired:
-            print(f"[bench] mode {mode} timed out; skipping",
+            print(f"[bench] mode {spec} timed out; skipping",
                   file=sys.stderr, flush=True)
             continue
         if proc.returncode != 0:
-            print(f"[bench] mode {mode} exited {proc.returncode}; skipping",
+            print(f"[bench] mode {spec} exited {proc.returncode}; skipping",
                   file=sys.stderr, flush=True)
             continue
         try:
             rec = json.loads(proc.stdout.decode().strip().splitlines()[-1])
         except (ValueError, IndexError):
-            print(f"[bench] mode {mode} produced no JSON; skipping",
+            print(f"[bench] mode {spec} produced no JSON; skipping",
                   file=sys.stderr, flush=True)
             continue
         rec["mode"] = mode
-        print(f"[bench] mode {mode}: {rec['value']} {rec['unit']}",
+        rec["world"] = world
+        print(f"[bench] mode {spec}: {rec['value']} {rec['unit']}",
               file=sys.stderr, flush=True)
-        bank[mode] = rec
-        # headline stays the BCE-only best (comparable across rounds); the
-        # production eikonal-on row rides alongside
-        if not mode.endswith("_ek") and (
+        bank[spec] = rec
+        # headline stays the BCE-only bench-world best (comparable across
+        # rounds); the production eikonal-on and street-world rows ride
+        # alongside as first-class parsed metrics
+        if world == "bench" and not mode.endswith("_ek") and (
                 best is None or rec["value"] > best["value"]):
             best = rec
     if best is None:
         print("[bench] no mode completed", file=sys.stderr, flush=True)
         raise SystemExit(1)
     final = dict(best)
-    ek_rows = [bank[m] for m in bank if m.endswith("_ek")]
-    prod = max(ek_rows, key=lambda r: r["value"]) if ek_rows else None
-    if prod is not None:
-        final["production_icra_eikonal"] = {
-            "mode": prod["mode"],
-            "value": prod["value"],
-            "unit": prod["unit"],
-            "vs_baseline": prod["vs_baseline"],
-        }
-    final["modes"] = {m: r["value"] for m, r in bank.items()}
+
+    def world_summary(wname):
+        rows = [r for s, r in bank.items() if r["world"] == wname]
+        plain = [r for r in rows if not r["mode"].endswith("_ek")]
+        ek = [r for r in rows if r["mode"].endswith("_ek")]
+        if not plain and not ek:
+            return None
+        out = {}
+        if plain:
+            b = max(plain, key=lambda r: r["value"])
+            out.update(mode=b["mode"], value=b["value"], unit=b["unit"],
+                       vs_baseline=b["vs_baseline"])
+        if ek:
+            p = max(ek, key=lambda r: r["value"])
+            out["production_icra_eikonal"] = {
+                "mode": p["mode"], "value": p["value"], "unit": p["unit"],
+                "vs_baseline": p["vs_baseline"],
+            }
+        return out
+
+    for wname, key in (("bench", "bench_world"), ("street", "street_world")):
+        ws = world_summary(wname)
+        if ws is not None:
+            final[key] = ws
+    if "production_icra_eikonal" in final.get("bench_world", {}):
+        final["production_icra_eikonal"] = (
+            final["bench_world"]["production_icra_eikonal"])
+    final["modes"] = {s: r["value"] for s, r in bank.items()}
     print(json.dumps(final))
 
 
