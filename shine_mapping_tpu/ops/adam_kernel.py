@@ -424,6 +424,175 @@ def fused_adam_packed_multi_pre(
     return jax.lax.cond(pre.ok, do_pallas, do_xla, (p128, m128, v128))
 
 
+def shard_geometry(shapes, n_shards: int, M_sh: int):
+    """Static geometry of the ROW-SHARDED multi-level kernel (round 5).
+
+    The concatenated packed table (R_tot, 128) splits into ``n_shards``
+    contiguous row blocks of R_loc = R_tot / n_shards; each shard sweeps
+    ALL of its local tiles every step (no n_used skip — the headroom tiles
+    it sweeps are exact no-ops: zero moments, zero gradients) and receives
+    only ITS entries via the window routing's all-to-all
+    (trainer.precompute_batch_windows_fused(shards=n)).
+
+    Returns (R_loc, tb, w, T, lvl) with ``lvl`` an (n_shards, T) int32
+    numpy array mapping each shard's local tiles to their level (drives the
+    per-level learning rate inside the kernel and the fallback's per-row
+    lr).  Raises ValueError when the shapes cannot shard evenly — callers
+    gate on :func:`shardable`.
+    """
+    Rs = [C * d // 128 for C, d in shapes]
+    R_tot = sum(Rs)
+    if n_shards < 1 or R_tot % n_shards:
+        raise ValueError(f"R_tot {R_tot} not divisible by {n_shards} shards")
+    R_loc = R_tot // n_shards
+    # tiles must never straddle a level OR shard boundary (each tile
+    # carries one level's lr; each shard owns whole tiles)
+    tb = min(512, R_loc, min(Rs))
+    while tb > 1 and (any(R % tb for R in Rs) or R_loc % tb):
+        tb //= 2
+    if any(R % tb for R in Rs) or R_loc % tb:
+        raise ValueError(f"no tile size divides levels {Rs} and R_loc {R_loc}")
+    while True:
+        exp = max(256, 4 * M_sh * tb // max(R_loc, 1))
+        w = 256
+        while w < exp:
+            w *= 2
+        if 4 * tb * w + 2048 * w <= _VMEM_BUDGET or tb <= 16:
+            break
+        tb //= 2
+    if R_loc % tb:
+        raise ValueError(f"VMEM-shrunk tile {tb} no longer divides {R_loc}")
+    T = R_loc // tb
+    roffs = np.concatenate([[0], np.cumsum(Rs)])
+    # global tile t covers rows [t*tb, (t+1)*tb) — inside ONE level
+    gtile_lvl = np.searchsorted(roffs, np.arange(R_tot // tb) * tb,
+                                side="right") - 1
+    lvl = gtile_lvl.reshape(n_shards, T).astype(np.int32)
+    return R_loc, tb, w, T, lvl
+
+
+def shardable(shapes, n_shards: int) -> bool:
+    """Can these feature tables row-shard evenly over ``n_shards``?"""
+    try:
+        shard_geometry(shapes, n_shards, 1)
+        return True
+    except ValueError:
+        return False
+
+
+def entry_prep_local(prow_local: jnp.ndarray, trash: jnp.ndarray,
+                     R_loc: int, tb: int, w: int) -> EntryPrep:
+    """:class:`EntryPrep` over a shard's LOCAL rows — every local tile is
+    visited, so coverage is automatic for in-range rows.  ``prow_local``
+    (M_sh,) int32 local packed rows (pads already spread by the caller);
+    ``trash`` marks pad slots whose gradients the kernel zeroes."""
+    M = prow_local.shape[0]
+    T = R_loc // tb
+    hints = dict(unique_indices=True, mode="promise_in_bounds")
+    order = jnp.argsort(prow_local)
+    prow = prow_local.at[order].get(**hints)
+    trash_s = trash.at[order].get(**hints)
+    Mpad = ((M + w - 1) // w) * w + w
+    prow_p = jnp.full((1, Mpad), -1, jnp.int32).at[0, :M].set(prow)
+    bounds = jnp.arange(T + 1, dtype=jnp.int32) * tb
+    wstart = jnp.searchsorted(prow, bounds).astype(jnp.int32)
+    offs = jnp.minimum(wstart[:-1] // w, Mpad // w - 2).astype(jnp.int32)
+    ok = jnp.logical_and(
+        jnp.all(wstart[1:] <= offs * w + 2 * w),
+        wstart[-1] == M,  # every entry's row is in [0, R_loc)
+    )
+    return EntryPrep(order=order, trash=trash_s, prow_p=prow_p, offs=offs,
+                     ok=ok)
+
+
+def fused_adam_packed_shard(
+    p_loc: jnp.ndarray,
+    m_loc: jnp.ndarray,
+    v_loc: jnp.ndarray,
+    g_sh: jnp.ndarray,
+    pre: EntryPrep,
+    lvl_d: jnp.ndarray,
+    lr: jnp.ndarray,
+    bc1: jnp.ndarray,
+    bc2: jnp.ndarray,
+    shapes: Sequence[Tuple[int, int]],
+    lr_scales: Sequence[float],
+    n_shards: int,
+    b1: float = 0.9,
+    b2: float = 0.99,
+    eps: float = 1e-15,
+    use_pallas: bool = True,
+    grads_bf16: bool = False,
+    sr_seed=None,
+):
+    """Dense-Adam step over ONE row shard of the concatenated packed
+    tables — the per-device body of the row-sharded epoch-window update
+    island (runs under shard_map; every shard executes the same program on
+    its own (R_loc, 128) slice, entries, and prep).
+
+    ``g_sh`` (M_sh, 128) lane-aligned entry gradients in the all-to-all
+    receive order; ``pre`` the per-(window, shard)
+    :func:`entry_prep_local`; ``lvl_d`` (T,) this shard's tile -> level
+    map (traced data — shards differ).  Semantics: identical per-row math
+    to :func:`fused_adam_packed_multi_pre` (each row's entries all live in
+    exactly one shard), reassociated within tiles.
+    """
+    M_sh = g_sh.shape[0]
+    R_loc, tb, w, T, _ = shard_geometry(shapes, n_shards, M_sh)
+    if grads_bf16:
+        g_sh = g_sh.astype(jnp.bfloat16).astype(jnp.float32)
+    hints = dict(unique_indices=True, mode="promise_in_bounds")
+    bf16_p = p_loc.dtype == jnp.bfloat16
+    if bf16_p and sr_seed is None:
+        raise ValueError("params_bf16 update needs a per-step sr_seed")
+    scal_lvl = lr * jnp.asarray(list(lr_scales), jnp.float32)
+
+    gs = g_sh.at[pre.order].get(**hints)
+    gs = jnp.where(pre.trash[:, None], 0.0, gs)
+
+    def xla_full(args):
+        p_loc, m_loc, v_loc = args
+        # scatter the SORTED zero-masked entries at their sorted rows —
+        # same sums as the kernel's one-hot matmul up to f32 add order
+        prow_s = pre.prow_p[0, :M_sh]
+        gd = jnp.zeros((R_loc, 128), jnp.float32).at[prow_s].add(gs)
+        lvl_rows = jnp.repeat(lvl_d, tb)
+        lr_rows = scal_lvl[lvl_rows][:, None]
+        m = b1 * m_loc.astype(jnp.float32) + (1.0 - b1) * gd
+        v = b2 * v_loc.astype(jnp.float32) + (1.0 - b2) * gd * gd
+        p = (p_loc.astype(jnp.float32)
+             - lr_rows * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
+        p = sr_round_bf16(p, sr_seed) if bf16_p else p.astype(p_loc.dtype)
+        return p, m.astype(m_loc.dtype), v.astype(v_loc.dtype)
+
+    if not (use_pallas and _HAS_PALLAS
+            and all(packable(C, d) for C, d in shapes)):
+        return xla_full((p_loc, m_loc, v_loc))
+
+    g_hi = gs.astype(jnp.bfloat16)
+    g_lo = (None if grads_bf16
+            else (gs - g_hi.astype(jnp.float32)).astype(jnp.bfloat16))
+    Mpad = pre.prow_p.shape[1]
+    pad_g = jnp.zeros((Mpad - M_sh, 128), jnp.bfloat16)
+    g_hi = jnp.concatenate([g_hi, pad_g], axis=0)
+    if g_lo is not None:
+        g_lo = jnp.concatenate([g_lo, pad_g], axis=0)
+    scal = jnp.concatenate([
+        jnp.stack([lr, bc1, bc2]).astype(jnp.float32), scal_lvl])
+    rowmap = jnp.arange(T, dtype=jnp.int32)  # every local tile is visited
+    seed = (jnp.zeros((1,), jnp.int32) if sr_seed is None
+            else jnp.asarray(sr_seed, jnp.int32).reshape(1))
+
+    def do_pallas(args):
+        p_loc, m_loc, v_loc = args
+        return tuple(_pallas_update_multi(
+            p_loc, m_loc, v_loc, pre.prow_p, g_hi, g_lo, pre.offs, scal,
+            lvl_d.astype(jnp.int32), rowmap, seed, T, tb, w, b1, b2, eps,
+        ))
+
+    return jax.lax.cond(pre.ok, do_pallas, xla_full, (p_loc, m_loc, v_loc))
+
+
 def _xla_update_lanes_lr(p128, m128, v128, rows, g128, lr, bc1, bc2,
                          D: int, b1: float, b2: float, eps: float):
     """Per-level-lr twin used by the multi-level fallback — one

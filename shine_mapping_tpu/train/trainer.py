@@ -183,6 +183,21 @@ def batch_windows_ok(settings: "TrainSettings", feat_shapes) -> bool:
     )
 
 
+def shard_windows_ok(settings: "TrainSettings", feat_shapes,
+                     n_shards: int) -> bool:
+    """Can the fused epoch windows row-shard the update over ``n_shards``
+    chips?  Requires a power-of-two shard count that divides the batch
+    (the sample shards) and an even row split of the concatenated packed
+    table (the split-K prefix is pow2-bumped to >= n_shards at precompute,
+    so it always divides).  The driver gates
+    ``precompute_batch_windows_fused(shards=n)`` on this."""
+    if n_shards < 2 or (n_shards & (n_shards - 1)):
+        return False
+    if settings.bs % n_shards or settings.bs // n_shards < 1:
+        return False
+    return adam_kernel.shardable(feat_shapes, n_shards)
+
+
 def used_rows_for(grid, granularity: int = 16) -> Tuple[int, ...]:
     """Per-level used-corner hints for TrainSettings.n_used (the pallas
     sweep skips capacity-headroom tiles — adam_kernel.used_rows_hint)."""
@@ -744,16 +759,25 @@ def train_chunk(
         # island whose boundary all-gathers the (bs, L*K, 128) entry
         # gradients (bf16 when the kernel rounds them anyway).  Replicated
         # tables are required — checked just below for all pallas modes.
-    if mode == "pallas" and batch_sharding is not None:
-        # the pallas kernel runs REPLICATED inside a shard_map island —
-        # row-sharded (giant-map) tables would be silently all-gathered
-        # into every chip each iteration.  Those maps use fused/sparse
-        # (GSPMD partitions their scatter+sweep across the row shards).
+    shard_routed = (
+        winx and batch_sharding is not None
+        and isinstance(batch_windows, dict)
+        and batch_windows.get("shard") is not None
+    )
+    if mode == "pallas" and batch_sharding is not None and not shard_routed:
+        # without window shard routing the pallas kernel runs REPLICATED
+        # inside a shard_map island — row-sharded (giant-map) tables would
+        # be silently all-gathered into every chip each iteration.  Those
+        # maps use fused/sparse (GSPMD partitions their scatter+sweep
+        # across the row shards) — or, with epoch windows, the round-5
+        # routed layout (precompute_batch_windows_fused(shards=n)), which
+        # row-shards the split-K kernel itself.
         sh = getattr(params["features"][0], "sharding", None)
         if sh is not None and not sh.is_fully_replicated:
             raise ValueError(
                 "feature_update 'pallas' needs replicated feature tables; "
-                "with tpu.table_sharding: rows use 'fused' or 'sparse'"
+                "with tpu.table_sharding: rows use 'fused'/'sparse' or "
+                "precompute the windows with shards=n_devices"
             )
     if opt_state.m["features"][0].dtype == jnp.bfloat16 and mode != "pallas":
         # only the pallas update (and its fallbacks) preserves the bf16
@@ -788,6 +812,28 @@ def train_chunk(
             v=dict(opt_state.v, features=pack(opt_state.v["features"])),
             step=opt_state.step,
         )
+        if shard_routed:
+            # the routed islands hold one contiguous R_tot/n row block per
+            # chip — place the packed tables that way (one reshard per
+            # chunk; the scan carry then keeps the layout)
+            rows_sh = jax.sharding.NamedSharding(
+                batch_sharding.mesh,
+                jax.sharding.PartitionSpec(batch_sharding.mesh.axis_names[0]),
+            )
+            n_sh = batch_windows["shard"]["serve_rows"].shape[1]
+            if params["features"].shape[0] % n_sh:
+                raise ValueError(
+                    f"packed rows {params['features'].shape[0]} not "
+                    f"divisible by {n_sh} shards")
+            params = dict(
+                params, features=jax.device_put(params["features"], rows_sh))
+            opt_state = OptState(
+                m=dict(opt_state.m, features=jax.device_put(
+                    opt_state.m["features"], rows_sh)),
+                v=dict(opt_state.v, features=jax.device_put(
+                    opt_state.v["features"], rows_sh)),
+                step=opt_state.step,
+            )
     params, opt_state, aux = _train_chunk_impl(
         params, opt_state, tables, pool, shadow, n_valid, start_iter, key,
         settings, n_iters, batch_sharding, mode, feat_shapes, pre_lookups,
@@ -1327,19 +1373,31 @@ def _train_chunk_impl(
         batch = {k2: sl(v) for k2, v in wx["pool"].items()}
         batch["ts"] = batch.pop("time", None)
         L = len(s.levels)
+        # row-sharded routing (precompute_batch_windows_fused(shards=n)):
+        # forward gather and kernel run in per-shard islands joined by
+        # all-to-alls — no table gather and no entry all-gather anywhere
+        rt = wx.get("shard")
+        sharded = rt is not None and batch_sharding is not None
         if split:
-            rows_hi = sl(wx["rows_hi"])
-            rows_lo = sl(wx["rows_lo"])
-            rows_flat = jnp.concatenate(
-                [rows_hi.reshape(-1), rows_lo.reshape(-1)])
-            Kw = rows_hi.shape[1] // L
+            Kw = wx["rows_hi"].shape[2] // L
+            K_lo_w = wx["rows_lo"].shape[2] // L
+            P_samp = wx["rows_hi"].shape[1]
         else:
-            rows_kg = sl(wx["rows_kg"])
-            rows_flat = rows_kg.reshape(-1)
-            Kw = rows_kg.shape[1] // L
-        # replicated copy of the entry rows for the update island (the
-        # forward copies below may be batch-sharded)
-        rows_isl = rows_flat
+            Kw = wx["rows_kg"].shape[2] // L
+            K_lo_w = Kw
+            P_samp = 0
+        if not sharded:
+            if split:
+                rows_hi = sl(wx["rows_hi"])
+                rows_lo = sl(wx["rows_lo"])
+                rows_flat = jnp.concatenate(
+                    [rows_hi.reshape(-1), rows_lo.reshape(-1)])
+            else:
+                rows_kg = sl(wx["rows_kg"])
+                rows_flat = rows_kg.reshape(-1)
+            # replicated copy of the entry rows for the update island (the
+            # forward copies below may be batch-sharded)
+            rows_isl = rows_flat
         fac = {"winx": {
             "K": Kw,
             "split": split,
@@ -1358,20 +1416,55 @@ def _train_chunk_impl(
 
             batch = {k2: (con(v) if v is not None else None)
                      for k2, v in batch.items()}
-            if split:
-                rows_hi = con(rows_hi)
-                rows_lo = con(rows_lo)
-            else:
-                rows_kg = con(rows_kg)
+            if not sharded:
+                if split:
+                    rows_hi = con(rows_hi)
+                    rows_lo = con(rows_lo)
+                else:
+                    rows_kg = con(rows_kg)
             fac["winx"] = dict(
                 fac["winx"],
                 kidx=con(fac["winx"]["kidx"]),
                 slots=con(fac["winx"]["slots"]),
                 found=con(fac["winx"]["found"]),
             )
-        pre = jax.tree_util.tree_map(sl, wx["pre"])
+        pre = (None if sharded
+               else jax.tree_util.tree_map(sl, wx["pre"]))
 
-        if split:
+        if sharded:
+            # island 1: each table shard gathers the local rows it SERVES
+            # (static per window), one all-to-all delivers them to the
+            # entries' sample-owners, who assemble their local G with one
+            # gather (pad entries -> the appended zero row: their
+            # interpolation weights are exactly zero, so contributions
+            # match the unsharded spread-row gather bit-for-bit)
+            Pspec = jax.sharding.PartitionSpec
+            smesh = batch_sharding.mesh
+            ax = smesh.axis_names[0]
+            n_sh = rt["serve_rows"].shape[1]
+            M_hi_loc = (P_samp // n_sh) * L * Kw
+
+            def isl_gather(feats, srv, rinv, wsel_):
+                sr = jax.lax.dynamic_index_in_dim(srv, wsel_, 0, False)[0]
+                buf = feats[jnp.clip(sr, 0, feats.shape[0] - 1)]
+                recv = jax.lax.all_to_all(buf, ax, 0, 0, tiled=True)
+                flat = jnp.concatenate(
+                    [recv.reshape(-1, 128), jnp.zeros((1, 128), feats.dtype)])
+                ri = jax.lax.dynamic_index_in_dim(rinv, wsel_, 0, False)[0]
+                Gl = flat[ri]
+                if split:
+                    return (Gl[:M_hi_loc].reshape(-1, L * Kw, 128),
+                            Gl[M_hi_loc:].reshape(-1, L * K_lo_w, 128))
+                return Gl.reshape(-1, L * Kw, 128)
+
+            G = jax.shard_map(
+                isl_gather, mesh=smesh,
+                in_specs=(Pspec(ax), Pspec(None, ax), Pspec(None, ax),
+                          Pspec()),
+                out_specs=((Pspec(ax), Pspec(ax)) if split else Pspec(ax)),
+                check_vma=False,
+            )(params["features"], rt["serve_rows"], rt["recv_inv"], wsel)
+        elif split:
             # TWO gathers (prefix K rows + tail single rows) — ~3x fewer
             # rows than the plain fused layout (BENCH_NOTES round 4)
             G = (params["features"][rows_hi], params["features"][rows_lo])
@@ -1381,9 +1474,10 @@ def _train_chunk_impl(
         (loss, aux), (g_dense, g_G) = jax.value_and_grad(
             _compute_loss_sparse, argnums=(0, 1), has_aux=True
         )(dense_params, G, (), batch, fac, k_loss, s)
-        g_entries = (jnp.concatenate([g_G[0].reshape(-1, 128),
-                                      g_G[1].reshape(-1, 128)])
-                     if split else g_G.reshape(-1, 128))
+        if not sharded:
+            g_entries = (jnp.concatenate([g_G[0].reshape(-1, 128),
+                                          g_G[1].reshape(-1, 128)])
+                         if split else g_G.reshape(-1, 128))
 
         lr = lr_at_step(
             s.lr, start_iter + it, s.lr_decay_step, s.lr_iters_reduce_ratio
@@ -1408,7 +1502,58 @@ def _train_chunk_impl(
         # per-step stochastic-rounding seed for bf16 tables
         # (tpu.params_bf16); unused for f32 tables
         sr_seed = (start_iter + it).astype(jnp.int32)
-        if batch_sharding is not None:
+        if sharded:
+            # island 2: reverse all-to-all — each sample-owner sends its
+            # local entry gradients to the entries' row shards (same slot
+            # correspondence as the forward, one gather builds the send
+            # buffer), and each shard runs the kernel over ITS R/n tiles
+            # only.  Cross-chip payload: the real entries once (bf16 when
+            # the kernel rounds them anyway), vs the replicated island's
+            # full-entry all-gather to every chip.
+            def isl_update(p_, m_, v_, *rest):
+                if split:
+                    (g_hi_, g_lo_, osel, pres, lvl_, wsel_, lr_, bc1_,
+                     bc2_, sd_) = rest
+                    parts = [g_hi_.reshape(-1, 128),
+                             g_lo_.reshape(-1, 128)]
+                else:
+                    (g_hi_, osel, pres, lvl_, wsel_, lr_, bc1_, bc2_,
+                     sd_) = rest
+                    parts = [g_hi_.reshape(-1, 128)]
+                g_flat = jnp.concatenate(
+                    parts + [jnp.zeros((1, 128), jnp.float32)])
+                os_ = jax.lax.dynamic_index_in_dim(osel, wsel_, 0, False)[0]
+                send = g_flat[os_]  # (n, E, 128)
+                if bf16_update:
+                    send = send.astype(jnp.bfloat16)
+                recv = jax.lax.all_to_all(send, ax, 0, 0, tiled=True)
+                g_sh = recv.reshape(-1, 128).astype(jnp.float32)
+                pre_ = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, wsel_, 0, False)[0], pres)
+                # decorrelate each shard's stochastic-rounding stream
+                sd_loc = sd_ + jax.lax.axis_index(ax).astype(
+                    jnp.int32) * jnp.int32(7919)
+                return adam_kernel.fused_adam_packed_shard(
+                    p_, m_, v_, g_sh, pre_,
+                    jax.lax.squeeze(lvl_, (0,)), lr_, bc1_, bc2_,
+                    feat_shapes, lr_scales, n_sh, eps=s.adam_eps,
+                    use_pallas=use_pallas_kernel, grads_bf16=bf16_update,
+                    sr_seed=sd_loc)
+
+            g_args = (g_G[0], g_G[1]) if split else (g_G,)
+            f_n, m_n, v_n = jax.shard_map(
+                isl_update, mesh=smesh,
+                in_specs=(Pspec(ax),) * 3 + (Pspec(ax),) * len(g_args)
+                + (Pspec(None, ax), Pspec(None, ax), Pspec(ax),
+                   Pspec(), Pspec(), Pspec(), Pspec(), Pspec()),
+                out_specs=(Pspec(ax),) * 3, check_vma=False,
+            )(
+                params["features"], opt_state.m["features"],
+                opt_state.v["features"], *g_args, rt["owner_sel"],
+                rt["pre"], rt["lvl"], wsel, lr, bc1, bc2, sr_seed,
+            )
+        elif batch_sharding is not None:
             # multi-chip: the pallas custom-call cannot be GSPMD-
             # partitioned, so the update runs REPLICATED inside a shard_map
             # island; the batch-sharded entry gradients all-gather at its
@@ -1704,10 +1849,153 @@ def choose_split_k(n_hi_all, cands, bs: int, K: int):
     return K_lo, P
 
 
+def _route_shard_windows(rows_all, zero_all, feat_shapes, settings,
+                         n_shards: int, split: bool, P: int, K: int,
+                         K_lo: int):
+    """Static per-window entry ROUTING for the row-sharded update (round 5).
+
+    The epoch windows are frozen, so which chip owns each entry's gradient
+    (its sample's batch shard) and which chip owns its destination row
+    (its packed row's table shard) are both known at precompute time.
+    This builds, per window:
+
+    * ``serve_rows`` (n, n, E) int32 — for table-shard d serving sample-
+      owner s: the LOCAL rows shard d gathers for s's entries (-1 pads);
+      drives the forward's per-shard gather + all-to-all.
+    * ``owner_sel`` (n, n, E) int32 — for owner s sending to shard d: the
+      LOCAL entry indices whose gradients ride that all-to-all slot
+      (M_loc = the appended zero-row slot for pads); the backward send
+      buffer is one gather.
+    * ``recv_inv`` (n, M_loc) int32 — owner s's local entry i sits at flat
+      position dst*E + rank of its forward receive buffer (n*E = the
+      appended zero row for pad entries).
+    * ``pre`` — per-(window, shard) :func:`adam_kernel.entry_prep_local`
+      over the n*E receive-order entries (pads spread over local rows).
+
+    Only REAL entries route (pads/misses carry exactly-zero gradients by
+    construction — shipping them would re-create the all-gather this
+    design removes); E is the pow2 max real-entry count over every
+    (window, owner, shard) cell.  Per-chip cost of the resulting island:
+    gather(M/n) + 2 x all-to-all(M/n bytes) + kern(M/n entries over R/n
+    tiles) — every term O(1/n), which is what kills the replicated
+    island's Amdahl fraction (BENCH_NOTES round-4 projection).
+    """
+    s = settings
+    L = len(s.levels)
+    bs = s.bs
+    n = n_shards
+    Rs = [C * d // 128 for C, d in feat_shapes]
+    R_tot = sum(Rs)
+    if R_tot % n:
+        raise ValueError(f"R_tot {R_tot} not divisible by {n} shards")
+    R_loc = R_tot // n
+    if split:
+        if P % n or (bs - P) % n:
+            raise ValueError(
+                f"split prefix P={P} / tail {bs - P} not divisible by {n}")
+        M_hi, M_lo = P * L * K, (bs - P) * L * K_lo
+        M_hi_loc = (P // n) * L * K
+        M_loc = M_hi_loc + ((bs - P) // n) * L * K_lo
+        e_hi = np.arange(M_hi, dtype=np.int64)
+        s_hi = e_hi // (L * K)
+        own_hi = s_hi // (P // n)
+        loc_hi = (s_hi % (P // n)) * (L * K) + e_hi % (L * K)
+        e_lo = np.arange(M_lo, dtype=np.int64)
+        s_lo = e_lo // (L * K_lo)
+        own_lo = s_lo // ((bs - P) // n)
+        loc_lo = (M_hi_loc + (s_lo % ((bs - P) // n)) * (L * K_lo)
+                  + e_lo % (L * K_lo))
+        owner_of = np.concatenate([own_hi, own_lo])
+        local_of = np.concatenate([loc_hi, loc_lo])
+    else:
+        if bs % n:
+            raise ValueError(f"bs {bs} not divisible by {n} shards")
+        M_all = bs * L * K
+        M_loc = (bs // n) * L * K
+        e = np.arange(M_all, dtype=np.int64)
+        samp = e // (L * K)
+        owner_of = samp // (bs // n)
+        local_of = (samp % (bs // n)) * (L * K) + e % (L * K)
+    owner_of = jnp.asarray(owner_of, jnp.int32)
+    local_of = jnp.asarray(local_of, jnp.int32)
+    M = int(rows_all.shape[1])
+    assert M == owner_of.shape[0], (M, owner_of.shape)
+
+    @jax.jit
+    def counts(rows_w, zero_w):
+        def one(args):
+            rows, zero = args
+            dst = rows // R_loc
+            cell = jnp.where(zero, n * n, owner_of * n + dst)
+            return jnp.zeros((n * n + 1,), jnp.int32).at[cell].add(1)[:n * n]
+
+        return jnp.max(jax.lax.map(one, (rows_w, zero_w)))
+
+    cmax = max(int(counts(rows_all, zero_all)), 1)
+    E = 8
+    while E < cmax:
+        E *= 2
+    M_sh = n * E
+    _, tb, w, T, lvl_np = adam_kernel.shard_geometry(feat_shapes, n, M_sh)
+    spread = jnp.asarray(
+        (np.arange(M_sh, dtype=np.int64) * max(R_loc - 1, 1)) // M_sh,
+        jnp.int32)
+    arangeM = jnp.arange(M, dtype=jnp.int32)
+
+    def route_one(args):
+        rows, zero = args
+        dst = (rows // R_loc).astype(jnp.int32)
+        cell = jnp.where(zero, n * n, owner_of * n + dst)
+        ordi = jnp.argsort(cell)
+        hints = dict(unique_indices=True, mode="promise_in_bounds")
+        cs = cell.at[ordi].get(**hints)
+        isnew = jnp.concatenate(
+            [jnp.ones((1,), bool), cs[1:] != cs[:-1]])
+        start = jax.lax.cummax(jnp.where(isnew, arangeM, 0))
+        rank = arangeM - start
+        valid = cs < n * n
+        slot = jnp.where(valid, cs * E + rank, n * n * E)
+        rows_s = rows.at[ordi].get(**hints) % R_loc
+        sv = jnp.full((n * n * E + 1,), -1, jnp.int32)
+        sv = sv.at[slot].set(rows_s.astype(jnp.int32))
+        serve = sv[:-1].reshape(n, n, E).transpose(1, 0, 2)  # (dst, owner, E)
+        ov = jnp.full((n * n * E + 1,), M_loc, jnp.int32)
+        ov = ov.at[slot].set(local_of.at[ordi].get(**hints))
+        owner_sel = ov[:-1].reshape(n, n, E)  # (owner, dst, E)
+        tgt = jnp.where(
+            valid,
+            owner_of.at[ordi].get(**hints) * M_loc
+            + local_of.at[ordi].get(**hints),
+            n * M_loc,
+        )
+        ri = jnp.full((n * M_loc + 1,), M_sh, jnp.int32)
+        ri = ri.at[tgt].set(((cs % n) * E + rank).astype(jnp.int32))
+        recv_inv = ri[:-1].reshape(n, M_loc)
+
+        def prep_shard(serve_d):
+            rows_d = serve_d.reshape(-1)
+            trash_d = rows_d < 0
+            rows_f = jnp.where(trash_d, spread, rows_d)
+            return adam_kernel.entry_prep_local(rows_f, trash_d, R_loc, tb, w)
+
+        pre = jax.vmap(prep_shard)(serve)
+        return {"serve_rows": serve, "owner_sel": owner_sel,
+                "recv_inv": recv_inv, "pre": pre}
+
+    @jax.jit
+    def route_all(rows_w, zero_w):
+        return jax.lax.map(route_one, (rows_w, zero_w))
+
+    out = route_all(rows_all, zero_all)
+    out["lvl"] = jnp.asarray(lvl_np)
+    return out
+
+
 def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
                                    settings, feat_shapes,
                                    w_bucket: bool = False,
-                                   split_k: bool = False):
+                                   split_k: bool = False,
+                                   shards: int = 0):
     """Epoch windows in the fused-gather, K-deduplicated layout (the
     fastest single-chip path — experiments/exp_r3_winx.py).
 
@@ -1760,6 +2048,16 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
     (the loss is order-invariant within a batch up to f32 reassociation
     of the mean).  Falls back to the plain fused layout when no split
     cuts M by >= 1/8 under the prefix cap.
+
+    ``shards``: >0 additionally precomputes the ROW-SHARDED update
+    routing (:func:`_route_shard_windows`) under key ``"shard"``: with
+    row-sharded tables and ``batch_sharding`` over the same n-device
+    mesh, train_chunk then runs the forward gather and the kernel inside
+    per-shard islands connected by all-to-alls — each chip gathers,
+    reorders, matmuls, and sweeps only its R/n rows, which is the path
+    that scales the flagship past the replicated island's ~2x Amdahl
+    ceiling.  Requires R_tot, bs (and the split prefix) divisible by
+    ``shards`` — check :func:`shard_windows_ok` first.
     """
     s = settings
     L = len(s.levels)
@@ -1821,6 +2119,11 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
         # round trip); choose_split_k picks the entry-minimizing (K_lo, P)
         n_hi_all = np.asarray(_max_over_klo(nun_w, cands)) if cands else []
         K_lo, P = choose_split_k(n_hi_all, cands, s.bs, K)
+        if P > 0 and shards:
+            # sharded mode splits the prefix over chips: bump the pow2
+            # prefix to at least one sample per shard (n | P, n | bs ->
+            # n | bs - P; entry-count cost of the bump is negligible)
+            P = max(P, shards)
         _t = _stamp("k_lo_candidates", _t)
         if P == 0:
             # no candidate cuts entries enough: use the plain fused layout
@@ -1942,6 +2245,10 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
             zero_mask = jnp.concatenate(zero_all, axis=1).reshape(-1)
         out["pre"] = adam_kernel.entry_prep_multi(
             prow, zero_mask, feat_shapes, s.n_used)
+        if shards:
+            # kept for the routing pass below (popped before returning)
+            out["_rows"] = prow.astype(jnp.int32)
+            out["_zero"] = zero_mask
         return out
 
     @jax.jit
@@ -1954,6 +2261,12 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
         win_idx, pre_lookups, {f: dev_pool[f] for f in stack_fields}
     )
     out["idx"] = win_idx
+    if shards:
+        rows_all = out.pop("_rows")
+        zero_all = out.pop("_zero")
+        out["shard"] = _route_shard_windows(
+            rows_all, zero_all, feat_shapes, s, shards, split_k, P, K,
+            K_lo if split_k else K)
     return out
 
 
