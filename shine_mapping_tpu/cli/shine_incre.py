@@ -117,18 +117,41 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
             # the incre demo at granularity 8: 11 of 20 frames recompiled)
             n_used=trainer.used_rows_for(grid, granularity=4),
         )
-        # optimizer rebuilt per frame over the grown structure; bf16
-        # moments only when the RESOLVED mode is pallas (continual-reg or
-        # unpackable dims fall back to fused, which cannot carry bf16)
         feat_shapes = tuple(tuple(f.shape) for f in params["features"])
+        capacity = pool_capacity_for(len(dataset.pool), 1 << 17)
+        dev_pool, n_valid = trainer.pool_to_device(dataset.pool, capacity, settings)
+
+        # the window-path decision comes BEFORE the optimizer init: with
+        # fused windows the continual-reg mode keeps the pallas update
+        # (the reg gradient rides the entry gradients — round 5), which
+        # legalizes bf16 moments; without them reg resolves to 'fused'
+        dp = cfg.mesh_shape > 1 or world > 1
+        use_pre = (
+            cfg.precompute_lookups
+            and cfg.iters * cfg.bs >= PRECOMPUTE_WORK_RATIO * capacity
+            # sparse/dense chunks ignore pre_lookups — don't pay a
+            # full-pool sweep per frame the trainer would discard
+            and trainer.resolve_feature_update(settings, feat_shapes)
+            in ("fused", "pallas")
+        )
+        use_winx = (
+            use_pre
+            and cfg.batch_windows and cfg.windows_fused
+            and trainer.batch_windows_ok(settings, feat_shapes)
+            and (not dp or cfg.table_sharding == "replicated")
+            and trainer.estimate_windows_bytes(
+                int(n_valid), settings, feat_shapes, dev_pool, fused=True)
+            <= cfg.windows_hbm_budget_gb * (1 << 30)
+        )
+        # optimizer rebuilt per frame over the grown structure; bf16
+        # moments only when the RESOLVED mode is pallas (unpackable dims —
+        # or continual-reg without fused windows — fall back to fused,
+        # which cannot carry bf16)
         opt_state = init_opt_state(
             params,
             moments_bf16=(cfg.moments_bf16 and trainer.resolve_feature_update(
-                settings, feat_shapes) == "pallas"),
+                settings, feat_shapes, winx=use_winx) == "pallas"),
         )
-
-        capacity = pool_capacity_for(len(dataset.pool), 1 << 17)
-        dev_pool, n_valid = trainer.pool_to_device(dataset.pool, capacity, settings)
         if cfg.continual_learning_reg:
             shadow = {
                 "importance": tuple(grid.importance_weight),
@@ -160,12 +183,7 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
         # shapes), so no extra executables in steady state
         pre_lookups = None
         batch_windows = None
-        if (cfg.precompute_lookups
-                and cfg.iters * cfg.bs >= PRECOMPUTE_WORK_RATIO * capacity
-                # sparse/dense chunks ignore pre_lookups — don't pay a
-                # full-pool sweep per frame the trainer would discard
-                and trainer.resolve_feature_update(settings, feat_shapes)
-                in ("fused", "pallas")):
+        if use_pre:
             pre_lookups = trainer.precompute_pool_lookups(
                 tables, dev_pool["coord"], tuple(grid.levels),
                 tuple(f.shape[0] for f in grid.features),
@@ -174,18 +192,9 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
             # flagship iteration): the SAME work predicate as the lookups
             # gates it — window prep is ~2 more pool sweeps.  W is bucketed
             # to a power of two so the growing pool re-jits O(log) times,
-            # not every frame.  Continual-reg frames resolve to the fused
-            # update, where batch_windows_ok is false — replay mode only.
-            use_winx = (
-                cfg.batch_windows and cfg.windows_fused
-                and trainer.batch_windows_ok(settings, feat_shapes)
-                and (batch_sharding is None
-                     or cfg.table_sharding == "replicated")
-                and trainer.estimate_windows_bytes(
-                    int(n_valid), settings, feat_shapes, dev_pool,
-                    fused=True)
-                <= cfg.windows_hbm_budget_gb * (1 << 30)
-            )
+            # not every frame.  Continual-reg frames ride the same layout:
+            # reg_cover precomputes the per-entry owned-lane masks the reg
+            # fold consumes (round 5 — reg used to demote to 'fused').
             if use_winx:
                 # split_k's prefix size P is pow2-bucketed like W, so the
                 # growing pool re-jits O(log) times on this axis too
@@ -193,10 +202,13 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
                     pre_lookups, dev_pool, int(n_valid),
                     jax.random.fold_in(key, 0x5157), settings, feat_shapes,
                     w_bucket=True, split_k=cfg.windows_split_k,
+                    reg_cover=cfg.continual_learning_reg,
                 )
                 if processed_frame == 0:
                     print("per-frame fused epoch windows on "
-                          f"({batch_windows['idx'].shape[0]} windows)")
+                          f"({batch_windows['idx'].shape[0]} windows)"
+                          + (" with reg fold"
+                             if cfg.continual_learning_reg else ""))
         key, k = jax.random.split(key)
         params, opt_state, aux = trainer.train_chunk(
             params, opt_state, tables, dev_pool, shadow,

@@ -160,11 +160,15 @@ class TrainSettings:
         return cls(**kw)
 
 
-def resolve_feature_update(settings: "TrainSettings", feat_shapes) -> str:
+def resolve_feature_update(settings: "TrainSettings", feat_shapes,
+                           winx: bool = False) -> str:
     """The feature-update implementation train_chunk will actually use
     (public twin of _resolve_mode — drivers gate tpu.moments_bf16 on it:
-    bf16 moments are only legal when the resolved mode is 'pallas')."""
-    return _resolve_mode(settings, feat_shapes)
+    bf16 moments are only legal when the resolved mode is 'pallas').
+    ``winx``: fused-gather epoch windows will be supplied — the one mode
+    whose body folds the continual-learning regularizer into the entry
+    gradients, so reg no longer demotes pallas there."""
+    return _resolve_mode(settings, feat_shapes, winx=winx)
 
 
 def batch_windows_ok(settings: "TrainSettings", feat_shapes) -> bool:
@@ -174,9 +178,13 @@ def batch_windows_ok(settings: "TrainSettings", feat_shapes) -> bool:
     from drifting.  Windows also require pre_lookups; callers check that
     separately since it is an argument, not a setting.  Data-parallel runs
     are supported: the sharded update island re-spreads the narrow entry
-    gradients to lanes and consumes the same precomputed EntryPrep."""
+    gradients to lanes and consumes the same precomputed EntryPrep.
+    Continual-learning reg is supported by the FUSED window layout
+    (windows_fused; the reg gradient rides the entry gradients via the
+    precomputed cover masks) — the per-level window layout still demotes.
+    """
     return (
-        _resolve_mode(settings, feat_shapes) == "pallas"
+        _resolve_mode(settings, feat_shapes, winx=True) == "pallas"
         and not settings.fuse_update_levels
         and not settings.ray_loss
         and not settings.consistency_loss_on
@@ -639,14 +647,20 @@ def _gather_batch(pool, idx, s: TrainSettings):
     return batch
 
 
-def _resolve_mode(settings: TrainSettings, feat_shapes) -> str:
-    """Pick the feature-update implementation for this configuration."""
+def _resolve_mode(settings: TrainSettings, feat_shapes,
+                  winx: bool = False) -> str:
+    """Pick the feature-update implementation for this configuration.
+
+    ``winx``: the caller will supply FUSED epoch windows — body_winx folds
+    the continual-learning reg into the entry gradients (cover masks), so
+    reg does not demote pallas there (round 5; the reference's flagship
+    incremental-reg mode previously ran 13x off flagship on 'fused')."""
     s = settings
     mode = s.feature_update if s.opt_adam else "dense"
     if mode == "sparse" and s.consistency_loss_on:
         mode = "dense"
     if mode == "pallas" and (
-        s.continual_reg_on
+        (s.continual_reg_on and not winx)
         or not all(adam_kernel.packable(C, D) for C, D in feat_shapes)
     ):
         mode = "fused"
@@ -736,9 +750,9 @@ def train_chunk(
     loss, no consistency term, and ``pre_lookups``.
     """
     feat_shapes = tuple(tuple(f.shape) for f in params["features"])
-    mode = _resolve_mode(settings, feat_shapes)
     winx = batch_windows is not None and (
         "rows_kg" in batch_windows or "rows_hi" in batch_windows)
+    mode = _resolve_mode(settings, feat_shapes, winx=winx)
     if batch_windows is not None and not winx and not (
         batch_windows_ok(settings, feat_shapes)
         and pre_lookups is not None
@@ -754,6 +768,11 @@ def train_chunk(
                 "fused batch windows require the pallas update and a "
                 f"point-mode loss without consistency (mode: {mode})"
             )
+        if settings.continual_reg_on and "cover" not in batch_windows:
+            raise ValueError(
+                "continual_reg_on with fused windows needs the reg cover "
+                "masks — precompute with reg_cover=True"
+            )
         # data-parallel winx is supported: the forward/backward shards over
         # the batch dim and the update runs replicated inside a shard_map
         # island whose boundary all-gathers the (bs, L*K, 128) entry
@@ -764,6 +783,26 @@ def train_chunk(
         and isinstance(batch_windows, dict)
         and batch_windows.get("shard") is not None
     )
+    if shard_routed and settings.continual_reg_on:
+        # the reg fold gathers imp/last rows sample-side; the routed
+        # layout would need them served per shard — not built (reg is the
+        # incremental driver's mode; routed windows are the batch-scale
+        # path).  Run reg with replicated tables instead.
+        raise ValueError(
+            "continual_reg_on is not supported with shard-routed windows; "
+            "use replicated tables (the reg fold runs in that island)")
+    if winx and settings.continual_reg_on:
+        # pack the shadow tables like the features: the reg fold gathers
+        # imp/last rows through the same fused (R_tot, 128) layout.  NOT
+        # donated — the driver keeps the shadow across frames.
+        shadow = {
+            "importance_fused": jnp.concatenate(
+                [jnp.asarray(f).reshape(-1, 128)
+                 for f in shadow["importance"]]),
+            "last_fused": jnp.concatenate(
+                [jnp.asarray(f).reshape(-1, 128)
+                 for f in shadow["last_frame"]]),
+        }
     if mode == "pallas" and batch_sharding is not None and not shard_routed:
         # without window shard routing the pallas kernel runs REPLICATED
         # inside a shard_map island — row-sharded (giant-map) tables would
@@ -1478,6 +1517,30 @@ def _train_chunk_impl(
             g_entries = (jnp.concatenate([g_G[0].reshape(-1, 128),
                                           g_G[1].reshape(-1, 128)])
                          if split else g_G.reshape(-1, 128))
+        if s.continual_reg_on:
+            # continual-learning reg folded into the entry gradients
+            # (round 5): touched corner lanes are a subset of the window's
+            # entry lanes, and each lane has ONE precomputed owner entry
+            # (wx["cover"] bitmasks), so the dense reg gradient
+            # 2*lambda*imp*(p - last) rides the entries with three row
+            # gathers and zero scatters.  Parity: body_fused's dense
+            # formulation / model/feature_octree.py:246-255 (touched rows
+            # = batch corners, trashbin excluded via found).
+            cov = sl(wx["cover"])  # (M,) int32 slot bitmask
+            D0 = feat_shapes[0][1]
+            lanegrp = jnp.arange(128, dtype=jnp.int32) // D0
+            cov_l = ((cov[:, None] >> lanegrp[None, :]) & 1).astype(
+                jnp.float32)
+            G_flat = (jnp.concatenate([g.reshape(-1, 128) for g in G])
+                      if split else G.reshape(-1, 128)).astype(jnp.float32)
+            imp_g = shadow["importance_fused"][rows_flat]
+            last_g = shadow["last_fused"][rows_flat]
+            diff = G_flat - last_g
+            reg = jnp.sum(cov_l * imp_g * diff * diff)
+            g_entries = g_entries + cov_l * (
+                (2.0 * s.lambda_forget) * imp_g * diff)
+            aux["reg_loss"] = reg
+            aux["total_loss"] = aux["total_loss"] + s.lambda_forget * reg
 
         lr = lr_at_step(
             s.lr, start_iter + it, s.lr_decay_step, s.lr_iters_reduce_ratio
@@ -1995,7 +2058,8 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
                                    settings, feat_shapes,
                                    w_bucket: bool = False,
                                    split_k: bool = False,
-                                   shards: int = 0):
+                                   shards: int = 0,
+                                   reg_cover: bool = False):
     """Epoch windows in the fused-gather, K-deduplicated layout (the
     fastest single-chip path — experiments/exp_r3_winx.py).
 
@@ -2048,6 +2112,13 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
     (the loss is order-invariant within a batch up to f32 reassociation
     of the mean).  Falls back to the plain fused layout when no split
     cuts M by >= 1/8 under the prefix cap.
+
+    ``reg_cover``: also store per-window ``cover`` (M,) int32 slot
+    bitmasks — for every corner lane the window touches, its FIRST
+    covering entry owns it; body_winx folds the continual-learning reg
+    gradient 2*lambda*imp*(p - last) onto exactly the owned lanes (no
+    double counting, no scatters).  Required when train_chunk runs with
+    ``continual_reg_on`` and fused windows.
 
     ``shards``: >0 additionally precomputes the ROW-SHARDED update
     routing (:func:`_route_shard_windows`) under key ``"shard"``: with
@@ -2156,6 +2227,7 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
         bs = s.bs
         rows_kg, kidx_all, slots_all, found_all, zero_all = [], [], [], [], []
         rows_hi, rows_lo, zero_hi, zero_lo, split_ok = [], [], [], [], []
+        cover = (jnp.zeros((M_entries,), jnp.int32) if reg_cover else None)
         for i in range(L):
             PACK = 128 // feat_dims[i]
             corners = pre_lu[i][0][idx]
@@ -2174,6 +2246,36 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
             kidx8 = jnp.take_along_axis(rank_at_first, first, axis=1)
             kidx = kidx8.astype(jnp.int8)
             nuniq = jnp.sum(is_first, axis=1)
+            if reg_cover:
+                # reg cover: each touched (row, slot) corner lane gets ONE
+                # owner entry (its first covering corner in window order);
+                # body_winx folds the reg gradient onto owned lanes only
+                keyc = jnp.where(
+                    found[:, None],
+                    prow8 * PACK + slots8.astype(jnp.int32), -1)
+                flatk = keyc.reshape(-1)
+                orderc = jnp.argsort(flatk)
+                ks = flatk[orderc]
+                firstc = jnp.concatenate(
+                    [jnp.ones((1,), bool), ks[1:] != ks[:-1]]) & (ks >= 0)
+                own = jnp.zeros((bs * 8,), bool).at[orderc].set(
+                    firstc).reshape(bs, 8)
+                samp = jnp.arange(bs, dtype=jnp.int32)[:, None]
+                if split_k:
+                    eid = jnp.where(
+                        samp < P,
+                        samp * (L * K) + i * K + kidx8,
+                        P * L * K + (samp - P) * (L * K_lo)
+                        + i * K_lo + kidx8)
+                    k_cap = jnp.where(samp < P, K, K_lo)
+                else:
+                    eid = samp * (L * K) + i * K + kidx8
+                    k_cap = K
+                bits = jnp.where(
+                    own & found[:, None] & (kidx8 < k_cap),
+                    jnp.left_shift(jnp.int32(1), slots8.astype(jnp.int32)),
+                    0)
+                cover = cover.at[eid.reshape(-1)].add(bits.reshape(-1))
             onek = (kidx8[:, :, None]
                     == jnp.arange(K, dtype=jnp.int32)[None, None, :])
             rows_k = jnp.sum(
@@ -2230,6 +2332,8 @@ def precompute_batch_windows_fused(pre_lookups, dev_pool, n_valid: int, key,
         out["kidx"] = jnp.concatenate(kidx_all, axis=1)
         out["slots"] = jnp.concatenate(slots_all, axis=1)
         out["found"] = jnp.stack(found_all, axis=1)
+        if reg_cover:
+            out["cover"] = cover
         if split_k:
             out["rows_hi"] = jnp.concatenate(rows_hi, axis=1)
             out["rows_lo"] = jnp.concatenate(rows_lo, axis=1)

@@ -189,6 +189,50 @@ def test_incremental_driver_end_to_end(synth_root, tmp_path):
     assert mesh.vertices.shape[0] > 300
 
 
+def test_incremental_continual_reg_windows_fast_path(synth_root, tmp_path,
+                                                     monkeypatch, capsys):
+    """The continual-reg mode on the fused-window fast path (round 5):
+    forcing the work-ratio gate open, the driver must take the per-frame
+    windows WITH the reg fold (not demote to 'fused'), accumulate
+    importance, and land quality comparable to the demoted path."""
+    from shine_mapping_tpu.cli import shine_incre
+
+    monkeypatch.setattr(shine_incre, "PRECOMPUTE_WORK_RATIO", 0.0)
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.iters = 60
+    cfg.continual_learning_reg = True
+    cfg.lambda_forget = 1e3
+    cfg.freeze_after_frame = 3
+    cfg.mesh_freq_frame = 100
+    cfg.batch_windows = True
+    cfg.windows_fused = True
+    cfg.feature_update = "pallas"
+    cfg.moments_bf16 = True
+    run_path, grid, params = run_shine_mapping_incremental_with_cfg(cfg)
+    out = capsys.readouterr().out
+    assert "with reg fold" in out
+    assert float(np.asarray(grid.importance_weight[0]).max()) > 0
+    import json
+
+    recs = [json.loads(l) for l in open(run_path + "/metrics.jsonl")]
+    assert all(np.isfinite(r["loss/total_loss"]) for r in recs)
+    assert any("loss/reg_loss" in r for r in recs[1:])
+
+    from shine_mapping_tpu.mesher import Mesher
+
+    mesher = Mesher(cfg, grid, params["geo"], params.get("sem"))
+    mesh = mesher.recon_octree_mesh(
+        cfg.mc_query_level, cfg.mc_res_m, run_path + "/mesh/final.ply",
+        "", False, False)
+    assert mesh.vertices.shape[0] > 300
+
+
+def run_shine_mapping_incremental_with_cfg(cfg):
+    from shine_mapping_tpu.cli.shine_incre import run_shine_mapping_incremental
+
+    return run_shine_mapping_incremental(cfg=cfg)
+
+
 def test_incremental_precompute_lookups_matches_live(synth_root, tmp_path, monkeypatch):
     """The incremental driver's per-frame lookup precompute (applied between
     growth steps when iters x bs clears the work-ratio gate) must reproduce
