@@ -18,6 +18,18 @@ RUN pip install --no-cache-dir "jax[tpu]" -f \
 WORKDIR /workspace
 COPY . /workspace
 
-# demo: download the KITTI example then run batch mapping headless
-CMD bash scripts/download_kitti_example.sh && \
-    python -m shine_mapping_tpu.cli.shine_batch config/kitti/docker_kitti_batch.yaml
+# Self-verifying smoke (no egress needed): generate the tiny synthetic
+# city IN-CONTAINER, run the full batch driver headlessly through the real
+# CLI (KITTI-format on-disk data incl. semantic labels), mesh, and eval —
+# writes experiments/demo_tpu_kitti_scale_tiny.json (quality + timings)
+# and the mesh .ply under the run dir.  This mirrors the reference's
+# Docker CMD being its e2e smoke test (reference Dockerfile:39).
+#
+#   docker run --rm shine_mapping_tpu
+#
+# With network access, the reference-parity flow still works:
+#   docker run --rm shine_mapping_tpu bash -c \
+#     "bash scripts/download_kitti_example.sh && \
+#      python -m shine_mapping_tpu.cli.shine_batch config/kitti/docker_kitti_batch.yaml"
+CMD SHINE_CITY_TINY=1 python experiments/demo_tpu_kitti_scale.py && \
+    cat experiments/demo_tpu_kitti_scale_tiny.json
