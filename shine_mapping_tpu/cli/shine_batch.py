@@ -208,8 +208,19 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         # staging thread only runs single-controller, see below)
         est_fused += sum(
             a.nbytes for a in dev_pool.values() if a is not None)
+    # fused windows run single-chip, data-parallel with replicated tables
+    # (the update island all-gathers entry gradients), or — the scaling
+    # path — with ROW-SHARDED tables via the round-5 routed layout: the
+    # window precompute routes every entry to its row shard, and each
+    # chip gathers/updates only its R/n rows (shards=n below)
+    n_shards = 0
+    if batch_sharding is not None and cfg.table_sharding == "rows":
+        nd = len(batch_sharding.mesh.devices.flat)
+        if trainer.shard_windows_ok(settings, feat_shapes, nd):
+            n_shards = nd
     use_winx = cfg.windows_fused and (
         batch_sharding is None or cfg.table_sharding == "replicated"
+        or n_shards > 0
     )
     if use_windows and use_winx and est_fused > windows_budget:
         print(
@@ -261,8 +272,12 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             wx = trainer.precompute_batch_windows_fused(
                 pre, dev_pool, int(n_live), wkey, settings, feat_shapes,
                 split_k=cfg.windows_split_k,
+                shards=n_shards,
             )
             L = len(settings.levels)
+            if n_shards:
+                print(f"routed row-sharded windows over {n_shards} chips "
+                      f"(E={wx['shard']['serve_rows'].shape[3]})")
             if "rows_hi" in wx:
                 P = wx["rows_hi"].shape[1]
                 print(f"fused windows (split-K): W={wx['idx'].shape[0]} "

@@ -584,6 +584,39 @@ def test_batch_driver_winx_data_parallel_end_to_end(synth_root, tmp_path,
     assert m["F-score (%)"] > 75.0, m
 
 
+def test_batch_driver_routed_row_sharded_windows_end_to_end(
+        synth_root, tmp_path, capsys):
+    """The round-5 routed row-sharded windows through the REAL batch
+    driver: tables row-sharded over the 8-device mesh, the window
+    precompute routes entries to their row shards, and the two all-to-all
+    islands run each chip's R/8 update — quality matches the replicated
+    path's gates."""
+    from shine_mapping_tpu.cli.shine_batch import run_shine_mapping_batch
+
+    cfg = small_cfg(synth_root, str(tmp_path))
+    cfg.mesh_shape = 8
+    cfg.table_sharding = "rows"
+    cfg.feature_update = "pallas"
+    cfg.batch_windows = True
+    cfg.vis_freq_iters = cfg.iters
+    run_path, grid, params = run_shine_mapping_batch(cfg=cfg)
+    out = capsys.readouterr().out
+    assert "data-parallel over 8 devices" in out
+    assert "routed row-sharded windows over 8 chips" in out
+
+    mesh_path = run_path + f"/mesh/mesh_iter_{cfg.iters}.ply"
+    gt = synth.gt_surface_points(100_000)
+    gt_path = str(tmp_path / "gt.ply")
+    io.write_ply(gt_path, io.PointCloud(points=gt))
+    m = eval_mesh(
+        mesh_path, gt_path, down_sample_res=0.05, threshold=0.2,
+        truncation_acc=0.4, truncation_com=2.0, mesh_sample_point=300_000,
+    )
+    print({k: round(v, 4) for k, v in m.items()})
+    assert m["Chamfer_L1 (m)"] < 0.15, m
+    assert m["F-score (%)"] > 75.0, m
+
+
 def test_incremental_driver_fused_windows_end_to_end(synth_root, tmp_path,
                                                      capsys):
     """Per-frame fused epoch windows (tpu.batch_windows in the INCREMENTAL
