@@ -296,8 +296,18 @@ def main() -> None:
         # forward/backward for the point gradients.  Measured separately so
         # the recorded gate number covers the config the comparison
         # contract actually runs.
+        # "..._bs32k" = the large-batch envelope: same stack at bs 32768
+        # (fixed sweep/dispatch terms amortize over 4x the samples while
+        # split-K keeps per-sample entries collapsed — measured 6.45M
+        # pts/s vs 3.82M at the ICRA bs 8192; exp_r5_bs_overlap.py).  The
+        # headline stays bs 8192 (the paper's setting).
+        bs32k = mode.endswith("_bs32k")
+        if bs32k:
+            mode = mode[: -len("_bs32k")]
         ek = mode.endswith("_ek")
         base = mode[:-3] if ek else mode
+        if bs32k:
+            mode = mode + "_bs32k"
         bf16m = base.startswith("pallas_bf16m")
         windows = base.endswith("_win")
         # "..._winx" = fused-gather window layout (K-deduplicated packed
@@ -319,6 +329,7 @@ def main() -> None:
             feature_update="pallas" if (bf16m or windows or winx) else base,
             n_used=trainer.used_rows_for(grid, granularity=64),
             ekional_loss_on=ek,
+            **({"bs": 32768} if bs32k else {}),
         )
         params = trainer.init_params(cfg, grid, jax.random.PRNGKey(0))
         # train_chunk donates params; keep grid.features intact for the
@@ -350,7 +361,7 @@ def main() -> None:
                 )
                 _ = float(batch_windows["preps"][-1].ok[-1])  # readback fence
             print(
-                f"[bench] window precompute ({n_pool // cfg.bs} windows): "
+                f"[bench] window precompute ({n_pool // settings.bs} windows): "
                 f"{time.perf_counter() - t0:.2f} s (once per run)",
                 file=sys.stderr, flush=True,
             )
@@ -375,8 +386,10 @@ def main() -> None:
                 f"{(t1 - t0) / n_iters * 1e3:.2f} ms/iter loss {loss:.4f}",
                 file=sys.stderr, flush=True,
             )
-        # best post-warmup chunk: robust against tunnel-latency spikes
-        return float(np.min(times[1:]))
+        # best post-warmup chunk: robust against tunnel-latency spikes;
+        # points/s computed with THIS variant's batch size (bs32k modes
+        # train 4x the samples per iteration)
+        return n_iters * settings.bs / float(np.min(times[1:]))
 
     # pallas (packed-table one-hot-matmul kernel) vs fused (explicit-scatter
     # XLA) vs sparse (lazy Adam): the best wins — pallas on-chip at this map
@@ -384,9 +397,7 @@ def main() -> None:
     # the sweep (set per-child by the orchestrator; also the dev loop knob).
     modes = os.environ.get("SHINE_BENCH_MODES",
                            "pallas,pallas_bf16m,pallas_bf16m_win,pallas_bf16m_winx,pallas_bf16m_winxp,fused,sparse")
-    chunk_t = min(run_variant(m) for m in modes.split(","))
-
-    pts_per_s = n_iters * cfg.bs / chunk_t
+    pts_per_s = max(run_variant(m) for m in modes.split(","))
     print(
         json.dumps(
             {
@@ -407,6 +418,7 @@ def main() -> None:
 ORCHESTRATED_MODES = (
     "street:pallas_bf16m_winxsp", "street:pallas_bf16m_winxsp_ek",
     "pallas_bf16m_winxsp", "pallas_bf16m_winxsp_ek",
+    "pallas_bf16m_winxsp_bs32k",
     "pallas_bf16m_winxp", "pallas_bf16m_winxp_ek", "pallas_bf16m_winx",
     "pallas_bf16m_win", "pallas_bf16m", "pallas", "fused", "sparse",
 )
@@ -471,10 +483,11 @@ def orchestrate() -> None:
         print(f"[bench] mode {spec}: {rec['value']} {rec['unit']}",
               file=sys.stderr, flush=True)
         bank[spec] = rec
-        # headline stays the BCE-only bench-world best (comparable across
-        # rounds); the production eikonal-on and street-world rows ride
-        # alongside as first-class parsed metrics
-        if world == "bench" and not mode.endswith("_ek") and (
+        # headline stays the BCE-only bench-world best AT THE ICRA BATCH
+        # SIZE (comparable across rounds); the production eikonal-on,
+        # street-world, and large-batch rows ride alongside as
+        # first-class parsed metrics
+        if world == "bench" and not mode.endswith(("_ek", "_bs32k")) and (
                 best is None or rec["value"] > best["value"]):
             best = rec
     if best is None:
@@ -482,9 +495,18 @@ def orchestrate() -> None:
         raise SystemExit(1)
     final = dict(best)
 
+    b32 = [r for r in bank.values() if r["mode"].endswith("_bs32k")]
+    if b32:
+        bb = max(b32, key=lambda r: r["value"])
+        final["large_batch_bs32768"] = {
+            "mode": bb["mode"], "value": bb["value"], "unit": bb["unit"],
+            "vs_baseline": bb["vs_baseline"],
+        }
+
     def world_summary(wname):
         rows = [r for s, r in bank.items() if r["world"] == wname]
-        plain = [r for r in rows if not r["mode"].endswith("_ek")]
+        plain = [r for r in rows
+                 if not r["mode"].endswith(("_ek", "_bs32k"))]
         ek = [r for r in rows if r["mode"].endswith("_ek")]
         if not plain and not ek:
             return None
