@@ -276,6 +276,10 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
             )
             L = len(settings.levels)
             if n_shards:
+                # per-device window residency scales 1/n: stacks shard
+                # over samples, routing over shards; the (unused) global
+                # EntryPrep is dropped
+                wx = pmesh.place_routed_windows(dp_mesh, wx)
                 print(f"routed row-sharded windows over {n_shards} chips "
                       f"(E={wx['shard']['serve_rows'].shape[3]})")
             if "rows_hi" in wx:

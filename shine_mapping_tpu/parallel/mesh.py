@@ -108,6 +108,43 @@ def shard_tables_by_rows(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", None))
 
 
+def place_routed_windows(mesh: Mesh, wx: dict) -> dict:
+    """Place a routed fused-window precompute so per-device residency
+    scales 1/n (round 5): the batch-content stacks, per-sample structure,
+    and rows shard over the SAMPLE axis (axis 1 of the (W, bs, ...)
+    stacks), the routing/prep arrays over their shard axis, and the
+    shard-local tile map over shards.  The GLOBAL EntryPrep (``pre``) is
+    dropped — the routed body never reads it, and it is the largest
+    single array in the precompute.
+
+    Without this, every array sits wherever the precompute left it and a
+    real multi-chip run replicates the whole window memory per chip.
+    """
+    samp = NamedSharding(mesh, P(None, "data"))
+    repl = NamedSharding(mesh, P())
+    out = {}
+    for k, v in wx.items():
+        if k == "pre":
+            continue  # unused by the routed body; W x Mpad of it is big
+        if k == "shard":
+            rt = dict(v)
+            rt["lvl"] = jax.device_put(rt["lvl"],
+                                       NamedSharding(mesh, P("data")))
+            for kk in ("serve_rows", "owner_sel", "recv_inv"):
+                rt[kk] = jax.device_put(rt[kk], samp)
+            rt["pre"] = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, samp), rt["pre"])
+            out[k] = rt
+        elif k == "pool":
+            out[k] = {f: jax.device_put(a, samp) for f, a in v.items()}
+        elif k in ("rows_hi", "rows_lo", "rows_kg", "kidx", "slots",
+                   "found", "cover", "idx"):
+            out[k] = jax.device_put(v, samp)
+        else:
+            out[k] = jax.device_put(v, repl)
+    return out
+
+
 def place_training_state(
     mesh: Mesh, params, opt_state, tables, pool, shadow,
     table_sharding: str = "replicated",
