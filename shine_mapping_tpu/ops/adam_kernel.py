@@ -240,17 +240,31 @@ def _pallas_update_multi(p128, m128, v128, prow_p, g_hi, g_lo, offs, scal,
       *g_args)
 
 
-def choose_tiles_multi(Rs: Sequence[int], M: int) -> Tuple[int, int]:
+def choose_tiles_multi(Rs: Sequence[int], M: int,
+                       needs: Sequence[int] | None = None) -> Tuple[int, int]:
     """Static (tile rows, window block) for the fused multi-level kernel.
 
     ``tb`` must divide every level's packed-row count so no tile straddles
-    a level boundary (tiles carry a single per-level learning rate)."""
+    a level boundary (tiles carry a single per-level learning rate).
+
+    ``needs``: per-level USED-row counts (the rows entries actually
+    spread over).  The window block must fit the DENSEST level's expected
+    per-tile entry count, not the table-wide average: entries split
+    evenly across levels (M/L per level), so a steep level pyramid (e.g.
+    the street world's 1.19M/311k/83k corners) packs ~7 entries/row on
+    its coarse level while the average says ~0.6 — sizing by the average
+    overflowed every tile window there and silently ran the XLA fallback
+    each iteration (round-5 find)."""
     tb0 = min(512, min(Rs))
     while any(R % tb0 for R in Rs):
         tb0 //= 2
     R_tot = sum(Rs)
+    L = len(Rs)
     while True:
         exp = max(256, 4 * M * tb0 // max(R_tot, 1))
+        if needs is not None:
+            for need in needs:
+                exp = max(exp, 4 * (M // L) * tb0 // max(need, 1))
         w = 256
         while w < exp:
             w *= 2
@@ -267,7 +281,13 @@ def _multi_geometry(shapes, M: int, n_used):
     same static (shapes, M, n_used) — factored so they cannot drift."""
     Rs = [C * d // 128 for C, d in shapes]
     roffs = np.concatenate([[0], np.cumsum(Rs)]).astype(np.int64)
-    tb, w = choose_tiles_multi(Rs, M)
+    needs = None
+    if n_used is not None:
+        needs = [
+            max(min(R_i, (nu * D_i + 127) // 128), 1)
+            for R_i, nu, (_, D_i) in zip(Rs, n_used, shapes)
+        ]
+    tb, w = choose_tiles_multi(Rs, M, needs)
     Rus = list(Rs)
     if n_used is not None:
         for i, (C_i, D_i) in enumerate(shapes):
@@ -928,7 +948,7 @@ def entry_prep_lanes(rows: jnp.ndarray, C: int, D: int,
     M = rows.shape[0]
     PACK = 128 // D
     R = C * D // 128
-    tb, w = choose_tiles(C, D, M)
+    tb, w = choose_tiles(C, D, M, n_used)
     R_used = _used_rows(R, tb, C, D, n_used)
     T = R_used // tb
 
@@ -952,12 +972,17 @@ def entry_prep_lanes(rows: jnp.ndarray, C: int, D: int,
                      ok=ok)
 
 
-def _fit_tiles(R: int, M: int) -> Tuple[int, int]:
+def _fit_tiles(R: int, M: int, R_dense: int | None = None) -> Tuple[int, int]:
+    # R_dense: the rows entries actually spread over (the used head) —
+    # the window block must fit the expected per-tile entry count at THAT
+    # density, not the full-capacity average (round-5 find: dense used
+    # heads overflowed every window and fell back to XLA silently)
+    R_d = R if R_dense is None else max(min(R_dense, R), 1)
     tb = min(512, R)
     while R % tb:
         tb //= 2
     while True:
-        exp = max(256, 4 * M * tb // max(R, 1))
+        exp = max(256, 4 * M * tb // R_d)
         w = 256
         while w < exp:
             w *= 2
@@ -967,9 +992,16 @@ def _fit_tiles(R: int, M: int) -> Tuple[int, int]:
         tb //= 2
 
 
-def choose_tiles(C: int, D: int, M: int) -> Tuple[int, int]:
-    """Static (tile rows, window block) sizes for the kernel."""
-    return _fit_tiles(C * D // 128, M)
+def choose_tiles(C: int, D: int, M: int,
+                 n_used: int | None = None) -> Tuple[int, int]:
+    """Static (tile rows, window block) sizes for the kernel.  Must be
+    called with the same (C, D, M, n_used) by the prep and the consuming
+    kernel call."""
+    R = C * D // 128
+    R_dense = None
+    if n_used is not None:
+        R_dense = max(min(R, (n_used * D + 127) // 128), 1)
+    return _fit_tiles(R, M, R_dense)
 
 
 def used_rows_hint(n_corners, shapes, granularity: int = 16):
@@ -1053,7 +1085,7 @@ def fused_adam_packed(
 
     PACK = 128 // D
     R = C * D // 128
-    tb, w = choose_tiles(C, D, M)
+    tb, w = choose_tiles(C, D, M, n_used)
     # visit only tiles that can hold touched rows (see n_used docstring)
     R_used = _used_rows(R, tb, C, D, n_used)
     T = R_used // tb

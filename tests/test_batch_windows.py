@@ -30,7 +30,7 @@ def _manual_prep(rows, C, D, n_used=None):
     M = rows.shape[0]
     PACK = 128 // D
     R = C * D // 128
-    tb, w = adam_kernel.choose_tiles(C, D, M)
+    tb, w = adam_kernel.choose_tiles(C, D, M, n_used)
     R_used = R
     if n_used is not None and n_used < C:
         need = (n_used * D + 127) // 128
