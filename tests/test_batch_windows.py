@@ -511,6 +511,37 @@ def test_estimate_windows_bytes_tracks_actual():
     assert 0.5 * actual_w <= est_w <= 2.0 * actual_w, (est_w, actual_w)
 
 
+def test_tile_windows_fit_steep_level_pyramids():
+    """Regression (round-5 find): window blocks sized by the table-AVERAGE
+    entry density overflowed on steep level pyramids — the street/city
+    coarse level holds ~4% of the fine level's rows but the same M/L
+    entries (~7/row), so every window failed pre.ok and the update
+    silently ran the XLA fallback each iteration.  The geometry must size
+    the window block for the DENSEST level's used head."""
+    rng = np.random.default_rng(2)
+    shapes = ((1 << 21, 8), (1 << 19, 8), (1 << 17, 8))
+    n_used = (1_200_000, 310_000, 83_000)
+    L, bs, K = 3, 8192, 4
+    Rs = [C * d // 128 for C, d in shapes]
+    roffs = np.concatenate([[0], np.cumsum(Rs)])
+    used_rows = [(nu * 8 + 127) // 128 for nu in n_used]
+    prow = np.concatenate([
+        roffs[i] + rng.integers(0, used_rows[i], bs * K)
+        for i in range(L)
+    ]).astype(np.int32)
+    zero = np.zeros(bs * K * L, bool)
+    pre = adam_kernel.entry_prep_multi(
+        jnp.asarray(prow), jnp.asarray(zero), shapes, n_used)
+    assert bool(pre.ok), (
+        "uniform-over-used-rows entries must fit the tile windows on a "
+        "steep pyramid (coarse level ~7 entries/row)")
+    # the single-level path with a dense used head (~12 entries/row)
+    C, D = 1 << 17, 8
+    rows1 = rng.integers(0, 83_000, bs * 8).astype(np.int32)
+    pre1 = adam_kernel.entry_prep_lanes(jnp.asarray(rows1), C, D, 83_000)
+    assert bool(pre1.ok)
+
+
 def test_hbm_monitor_census_bounds_window_stacks():
     """The drivers' peak-HBM telemetry (live-buffer census — the axon
     plugin returns no memory_stats) must SEE the fused window stacks, and
