@@ -275,6 +275,16 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
                 shards=n_shards,
             )
             L = len(settings.levels)
+            # every window's entries must fit the kernel's tile windows —
+            # failures run the (correct but ~10x slower) XLA fallback
+            # SILENTLY each iteration, which is exactly how the round-5
+            # steep-pyramid regression hid.  Surface it.
+            ok_arr = (wx["shard"]["pre"].ok if n_shards else wx["pre"].ok)
+            ok_frac = float(np.asarray(ok_arr, np.float32).mean())
+            if ok_frac < 1.0:
+                print(f"WARNING: {1 - ok_frac:.1%} of window preps exceed "
+                      "the kernel tile windows — those iterations run the "
+                      "XLA fallback (report this; see BENCH_NOTES round 5)")
             if n_shards:
                 # per-device window residency scales 1/n: stacks shard
                 # over samples, routing over shards; the (unused) global

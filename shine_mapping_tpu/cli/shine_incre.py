@@ -209,6 +209,12 @@ def run_shine_mapping_incremental(config_path: str | None = None, cfg: SHINEConf
                           f"({batch_windows['idx'].shape[0]} windows)"
                           + (" with reg fold"
                              if cfg.continual_learning_reg else ""))
+                ok_frac = float(np.asarray(
+                    batch_windows["pre"].ok, np.float32).mean())
+                if ok_frac < 1.0:
+                    print(f"WARNING: {1 - ok_frac:.1%} of window preps "
+                          "exceed the kernel tile windows — those "
+                          "iterations run the XLA fallback")
         key, k = jax.random.split(key)
         params, opt_state, aux = trainer.train_chunk(
             params, opt_state, tables, dev_pool, shadow,
