@@ -44,12 +44,27 @@ def main():
     fo, dec, loss_mod = ref_harness.load_reference()
     rng = np.random.default_rng(0)
 
+    # SHINE_REF_WORLD=street measures the floor in the FOUND-dominated
+    # regime (the street canyon bench.py's street_world rows use) so the
+    # street vs_baseline divides by a denominator measured in ITS regime,
+    # not the miss-dominated one (dict hits cost differently from misses)
+    world = os.environ.get("SHINE_REF_WORLD", "bench")
+    if world == "street":
+        from bench import build_street_world
+
+        _cfg, _grid, pool_np, n_pool_st = build_street_world()
+        band = None  # grown from the pool's own band below
     # the exact world bench.py measures our implementation on
     n_surf = 400_000
     xy = rng.uniform(-0.9, 0.9, (n_surf, 2))
     z = 0.08 * np.sin(4 * xy[:, 0]) * np.cos(3 * xy[:, 1])
     surf = np.stack([xy[:, 0], xy[:, 1], z], axis=1).astype(np.float32)
-    band = (surf + rng.normal(0, 0.003, surf.shape)).astype(np.float32)
+    if world == "street":
+        # grow from the street pool's surface samples (weight > 0), the
+        # same invariant the street world's grid was grown with
+        band = pool_np.coord[pool_np.weight > 0].astype(np.float32)
+    else:
+        band = (surf + rng.normal(0, 0.003, surf.shape)).astype(np.float32)
 
     cfg = ref_harness.RefConfig(
         tree_level_world=12, tree_level_feat=3, leaf_vox_size=0.2
@@ -69,10 +84,16 @@ def main():
     )
 
     bs = 8192
-    n_pool = 500_000
-    coord = np.repeat(band, 2, axis=0)[:n_pool]
-    coord = (coord + rng.normal(0, 0.01, coord.shape)).astype(np.float32)
-    labels = rng.normal(0, 0.01, n_pool).astype(np.float32)
+    if world == "street":
+        # the street world's OWN pool (93% found, nuniq ~3)
+        n_pool = min(500_000, n_pool_st)
+        coord = np.asarray(pool_np.coord[:n_pool], np.float32)
+        labels = np.asarray(pool_np.sdf_label[:n_pool], np.float32)
+    else:
+        n_pool = 500_000
+        coord = np.repeat(band, 2, axis=0)[:n_pool]
+        coord = (coord + rng.normal(0, 0.01, coord.shape)).astype(np.float32)
+        labels = rng.normal(0, 0.01, n_pool).astype(np.float32)
     pool_c = torch.from_numpy(coord)
     pool_l = torch.from_numpy(labels)
     sigma = 0.055 * cfg.scale  # logistic_gaussian_ratio * sigma_sigmoid_m
@@ -112,6 +133,7 @@ def main():
     log(f"full step (torch CPU): {t_full*1e3:.1f} ms/iter")
 
     out = {
+        "world": world,
         "bs": bs,
         "corners_per_level": corners,
         "t_get_indices_ms": round(t_get * 1e3, 2),
@@ -120,7 +142,9 @@ def main():
         "ref_points_per_s_cpu_full": round(bs / t_full, 1),
     }
     print(json.dumps(out))
-    with open(os.path.join(os.path.dirname(__file__), "ref_baseline.json"), "w") as f:
+    name = ("ref_baseline.json" if world == "bench"
+            else f"ref_baseline_{world}.json")
+    with open(os.path.join(os.path.dirname(__file__), name), "w") as f:
         json.dump(out, f, indent=1)
 
 

@@ -200,14 +200,6 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
     # instead of OOMing mid-run (trainer.estimate_windows_bytes).
     windows_budget = int(cfg.windows_hbm_budget_gb * (1 << 30))
     n_live_static = capacity if rotate_pool else len(dataset.pool)
-    est_fused = trainer.estimate_windows_bytes(
-        n_live_static, settings, feat_shapes, dev_pool, fused=True)
-    if rotate_pool and batch_sharding is None:
-        # rotation prefetch keeps a SECOND capacity-sized pool staged in
-        # HBM between rotations — charge it against the same budget (the
-        # staging thread only runs single-controller, see below)
-        est_fused += sum(
-            a.nbytes for a in dev_pool.values() if a is not None)
     # fused windows run single-chip, data-parallel with replicated tables
     # (the update island all-gathers entry gradients), or — the scaling
     # path — with ROW-SHARDED tables via the round-5 routed layout: the
@@ -218,6 +210,15 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
         nd = len(batch_sharding.mesh.devices.flat)
         if trainer.shard_windows_ok(settings, feat_shapes, nd):
             n_shards = nd
+    est_fused = trainer.estimate_windows_bytes(
+        n_live_static, settings, feat_shapes, dev_pool, fused=True,
+        shards=n_shards)
+    if rotate_pool and batch_sharding is None:
+        # rotation prefetch keeps a SECOND capacity-sized pool staged in
+        # HBM between rotations — charge it against the same budget (the
+        # staging thread only runs single-controller, see below)
+        est_fused += sum(
+            a.nbytes for a in dev_pool.values() if a is not None)
     use_winx = cfg.windows_fused and (
         batch_sharding is None or cfg.table_sharding == "replicated"
         or n_shards > 0
@@ -290,8 +291,17 @@ def run_shine_mapping_batch(config_path: str | None = None, cfg: SHINEConfig | N
                 # over samples, routing over shards; the (unused) global
                 # EntryPrep is dropped
                 wx = pmesh.place_routed_windows(dp_mesh, wx)
+                actual = sum(a.nbytes for a in
+                             jax.tree_util.tree_leaves(wx))
                 print(f"routed row-sharded windows over {n_shards} chips "
-                      f"(E={wx['shard']['serve_rows'].shape[3]})")
+                      f"(E={wx['shard']['serve_rows'].shape[3]}, "
+                      f"{actual / 2**30:.2f} GiB total "
+                      f"~{actual / n_shards / 2**30:.2f}/chip)")
+                if actual / n_shards > windows_budget:
+                    print("WARNING: routed window residency exceeds "
+                          "tpu.windows_hbm_budget_gb per chip — the E "
+                          "padding (worst-cell pow2) outgrew the "
+                          "pre-precompute estimate")
             if "rows_hi" in wx:
                 P = wx["rows_hi"].shape[1]
                 print(f"fused windows (split-K): W={wx['idx'].shape[0]} "

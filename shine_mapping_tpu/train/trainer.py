@@ -1527,6 +1527,10 @@ def _train_chunk_impl(
             # formulation / model/feature_octree.py:246-255 (touched rows
             # = batch corners, trashbin excluded via found).
             cov = sl(wx["cover"])  # (M,) int32 slot bitmask
+            # one decode for all levels is sound: the fused-window
+            # precompute REJECTS heterogeneous per-level feature dims
+            # ("fused windows need a uniform feature dim"), so every
+            # level's PACK — and hence the bit->lane expansion — is D0's
             D0 = feat_shapes[0][1]
             lanegrp = jnp.arange(128, dtype=jnp.int32) // D0
             cov_l = ((cov[:, None] >> lanegrp[None, :]) & 1).astype(
@@ -1801,7 +1805,8 @@ def precompute_batch_windows(pre_lookups, n_valid: int, key, settings,
 
 
 def estimate_windows_bytes(n_valid: int, settings, feat_shapes, dev_pool,
-                           fused: bool = True, K: int = 4) -> int:
+                           fused: bool = True, K: int = 4,
+                           shards: int = 0) -> int:
     """Host-side estimate (bytes) of the device memory a window precompute
     will hold for the whole run — the driver's OOM guard: window stacks
     compete with the map tables and the pool for HBM, and the fused layout
@@ -1840,6 +1845,14 @@ def estimate_windows_bytes(n_valid: int, settings, feat_shapes, dev_pool,
             bs * (per_sample_content + L * (K * 4 + 8 + 8 + 1))
             + M * prep_per_entry
         )
+        if shards:
+            # routed layout (shards=n): serve_rows + owner_sel (n*n*E
+            # int32 each, E pow2 of the worst cell — modeled at ~2x the
+            # mean real-entry share), recv_inv (n*M_loc), and n per-shard
+            # EntryPreps over n*E entries.  Together ~3x the per-entry
+            # prep term; TOTAL bytes — after parallel.mesh.
+            # place_routed_windows the per-DEVICE residency is ~1/n of it
+            per_window += 3.0 * M * prep_per_entry
     else:
         M = bs * 8
         per_window = bs * 4 + L * M * prep_per_entry
