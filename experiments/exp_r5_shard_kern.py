@@ -129,11 +129,14 @@ def measure_world(world_name: str, tiny: bool, shard_counts=(2, 4, 8)):
         M_sh = n * E
         M_loc = int(rt["recv_inv"].shape[2])
         R_loc = R_tot // n
+        # window 0's REAL routed entries, summed over ALL shards (per
+        # shard it is ~1/n of this; E pads each (owner, shard) cell to
+        # the worst case, so M_sh = n*E >= real/n)
         real = int(np.asarray((rt["serve_rows"][0] >= 0).sum()))
         rec = {"E": E, "M_sh_per_shard": M_sh, "M_loc": M_loc,
-               "real_entries_w0": real}
+               "real_entries_w0_all_shards": real}
         log(f"[{world_name}] n={n}: E={E} M_sh={M_sh} M_loc={M_loc} "
-            f"real(w0)={real}")
+            f"real(w0, all shards)={real}")
 
         # shard 0's local table slice + its routing arrays
         p_loc = fused_bf16[:R_loc]
