@@ -2008,9 +2008,16 @@ def _route_shard_windows(rows_all, zero_all, feat_shapes, settings,
         return jnp.max(jax.lax.map(one, (rows_w, zero_w)))
 
     cmax = max(int(counts(rows_all, zero_all)), 1)
+    # E pads every (owner, shard) slot block to the worst cell across ALL
+    # windows.  pow2 rounding costs up to 2x extra on top of that; above
+    # 256 round to 256-lane multiples instead (the padding then costs
+    # <= 256/cmax) — E is one static value per precompute either way, so
+    # executable diversity is unchanged within a run
     E = 8
-    while E < cmax:
+    while E < cmax and E < 256:
         E *= 2
+    if cmax > 256:
+        E = ((cmax + 255) // 256) * 256
     M_sh = n * E
     _, tb, w, T, lvl_np = adam_kernel.shard_geometry(feat_shapes, n, M_sh)
     spread = jnp.asarray(
